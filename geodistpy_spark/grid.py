@@ -1,0 +1,186 @@
+"""Hierarchical lat/lon quad-grid cell index (H3/S2 stand-in).
+
+No h3/s2 wheels exist in this environment, so the engine implements a
+hierarchical equirectangular quad-grid natively (SURVEY.md §2.4):
+
+- resolution ``r`` divides the globe into ``2^r × 2^r`` cells
+  (lon ∈ [-180, 180) wrapping, lat ∈ [-90, 90] clamped),
+- ``cell_id = y * 2^r + x`` as a 64-bit integer — *plain integer math*,
+  identically computable as a Spark Column expression, in ANSI SQL
+  (DuckDB oracle), and in numpy,
+- parent cell at ``r-1`` is ``(y >> 1) * 2^(r-1) + (x >> 1)``,
+- neighbor enumeration wraps in x (antimeridian) and clamps in y
+  (polar caps).
+
+Driver-side generators (:func:`cell_cover`, :func:`k_ring`) produce the
+small cell-id sets that get broadcast into joins; they only ever touch
+cell ids, never data rows. Cover conservativeness (every point within
+``radius_m`` geodesic meters of the center lands in a covered cell) is
+what makes the cell-prefilter + exact-refine join strategy *exact*
+(reference punts at >100k candidates: docs/spatial-queries.md:286-289).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+MAX_RES = 25
+
+# conservative meters-per-degree bounds on WGS-84:
+# meridian arc per degree ranges ~110,574 (equator) .. ~111,694 (pole);
+# using the MINIMUM means we never under-estimate the degree-span of a
+# geodesic radius.
+MIN_M_PER_DEG_LAT = 110_567.0
+# equatorial meters per degree of longitude (a * pi / 180)
+M_PER_DEG_LON_EQ = 111_319.49079327358
+
+
+def nx(res: int) -> int:
+    return 1 << res
+
+
+def cell_xy(lat: float, lon: float, res: int) -> tuple[int, int]:
+    """(x, y) cell coordinates of a point; lon wraps, lat clamps."""
+    n = nx(res)
+    x = int(math.floor(((lon + 180.0) % 360.0) / 360.0 * n))
+    x = min(max(x, 0), n - 1)
+    y = int(math.floor((lat + 90.0) / 180.0 * n))
+    y = min(max(y, 0), n - 1)
+    return x, y
+
+
+def cell_id(lat: float, lon: float, res: int) -> int:
+    x, y = cell_xy(lat, lon, res)
+    return y * nx(res) + x
+
+
+def cell_id_np(lat, lon, res: int) -> np.ndarray:
+    """Vectorized cell ids (numpy) — same math as the Column expression."""
+    n = nx(res)
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    x = np.floor(np.mod(lon + 180.0, 360.0) / 360.0 * n)
+    x = np.clip(x, 0, n - 1).astype(np.int64)
+    y = np.floor((lat + 90.0) / 180.0 * n)
+    y = np.clip(y, 0, n - 1).astype(np.int64)
+    return y * n + x
+
+
+def parent_cell(cell: int, res: int, parent_res: int) -> int:
+    """Cell id of the ancestor at a coarser resolution."""
+    n = nx(res)
+    y, x = divmod(cell, n)
+    shift = res - parent_res
+    return (y >> shift) * nx(parent_res) + (x >> shift)
+
+
+def cell_bounds(cell: int, res: int) -> tuple[float, float, float, float]:
+    """(lat_min, lat_max, lon_min, lon_max) of a cell."""
+    n = nx(res)
+    y, x = divmod(cell, n)
+    lat_min = -90.0 + 180.0 * y / n
+    lat_max = -90.0 + 180.0 * (y + 1) / n
+    lon_min = -180.0 + 360.0 * x / n
+    lon_max = -180.0 + 360.0 * (x + 1) / n
+    return lat_min, lat_max, lon_min, lon_max
+
+
+def cell_center(cell: int, res: int) -> tuple[float, float]:
+    la0, la1, lo0, lo1 = cell_bounds(cell, res)
+    return (la0 + la1) / 2.0, (lo0 + lo1) / 2.0
+
+
+def k_ring(lat: float, lon: float, res: int, k: int) -> list[int]:
+    """Cell ids within Chebyshev distance k of the point's cell.
+
+    x wraps across the antimeridian; y clamps at the poles (rows past a
+    pole don't exist — polar coverage is handled by the cover radius
+    math which switches to full rows near the poles).
+    """
+    n = nx(res)
+    cx, cy = cell_xy(lat, lon, res)
+    out = []
+    for dy in range(-k, k + 1):
+        y = cy + dy
+        if y < 0 or y >= n:
+            continue
+        for dx in range(-k, k + 1):
+            x = (cx + dx) % n
+            out.append(y * n + x)
+    return sorted(set(out))
+
+
+def pick_resolution(radius_m: float, max_cover: int = 512) -> int:
+    """Resolution whose cell height is ~ the search radius.
+
+    Cell height in meters ≈ 2.0e7 / 2^r (half meridian / 2^r). Choosing
+    cell ≈ radius keeps covers at ~3x3 cells away from the poles.
+    """
+    if radius_m <= 0:
+        return MAX_RES
+    r = int(math.floor(math.log2(2.0e7 / radius_m)))
+    return min(max(r, 0), MAX_RES)
+
+
+# Smallest radius of curvature anywhere on WGS-84 is the meridional radius
+# at the equator, ~6,335,439 m. A geodesic of length d therefore subtends a
+# haversine-style central angle (on geodetic lat/lon treated as spherical)
+# of at most ~d / 6.33e6 rad; using this UNDER-estimate of the radius makes
+# the cap angle an over-estimate, i.e. the cover conservative.
+MIN_CURVATURE_RADIUS_M = 6_330_000.0
+
+
+def cell_cover(lat: float, lon: float, radius_m: float, res: int | None = None,
+               margin: float = 1.002) -> tuple[int, list[int]]:
+    """Conservative disk cover: every point whose geodesic distance to
+    (lat, lon) is <= radius_m lies in one of the returned cells.
+
+    Returns ``(res, cell_ids)``. Uses the standard spherical-cap bounding
+    box: lat band ±σ, lon half-width asin(sin σ / cos lat) when no pole is
+    inside the cap, full rows otherwise — with σ = radius over the
+    *minimum* curvature radius of the ellipsoid (over-estimates the cap,
+    never under). Verified empirically against brute-force geodesic
+    distances in tests (tests/test_grid.py).
+    """
+    if res is None:
+        res = pick_resolution(radius_m)
+    n = nx(res)
+    sigma = min(radius_m * margin / MIN_CURVATURE_RADIUS_M, math.pi)
+    sigma_deg = math.degrees(sigma)
+
+    lat_lo = max(lat - sigma_deg, -90.0)
+    lat_hi = min(lat + sigma_deg, 90.0)
+    y_lo = int(math.floor((lat_lo + 90.0) / 180.0 * n))
+    y_hi = int(math.floor((lat_hi + 90.0 - 1e-12) / 180.0 * n))
+    y_lo = min(max(y_lo, 0), n - 1)
+    y_hi = min(max(y_hi, 0), n - 1)
+
+    pole_in_cap = (abs(lat) + sigma_deg) >= 90.0
+    cells: list[int] = []
+    if pole_in_cap:
+        for y in range(y_lo, y_hi + 1):
+            cells.extend(y * n + x for x in range(n))
+        return res, cells
+
+    sin_ratio = math.sin(sigma) / max(math.cos(math.radians(lat)), 1e-15)
+    dlam_deg = math.degrees(math.asin(min(sin_ratio, 1.0)))
+    cell_w = 360.0 / n
+    span = min(int(math.ceil(2.0 * dlam_deg / cell_w)) + 2, n)
+    lo_x = int(math.floor(((lon - dlam_deg + 180.0) % 360.0) / 360.0 * n))
+    for y in range(y_lo, y_hi + 1):
+        cells.extend(y * n + ((lo_x + i) % n) for i in range(span))
+    return res, sorted(set(cells))
+
+
+def cover_min_exterior_distance(lat: float, lon: float, radius_m: float) -> float:
+    """Lower bound on the geodesic distance from (lat, lon) to any point
+    *outside* ``cell_cover(lat, lon, radius_m)`` — by construction the
+    cover contains the full geodesic disk, so the bound is ``radius_m``.
+
+    Exposed for the kNN ring-closure argument: after searching a cover of
+    radius R and finding >= k candidates with k-th distance <= R, no
+    uncovered point can beat the k-th candidate.
+    """
+    return radius_m

@@ -1,0 +1,157 @@
+"""Interleaved text+media documents: span extraction & reassembly.
+
+Input table shape (BASELINE.json ``input_hint``, authoritative)::
+
+    documents(doc_id: string,
+              spans: array<struct<kind:string, text:string,
+                                  media_ref:string, offset:int>>)
+
+Geo-bearing spans carry ``kind='geo'`` with ``text = "<lat>,<lon>"``.
+Extraction is the engine analog of the reference's tabular ingest
+(pandas_support.py:25-136): order-preserving and non-destructive — the
+per-row invariant is span-sequence equality (kind, text, media_ref,
+order), enforced by :func:`verify_span_sequence`.
+
+All of this is plain Catalyst: posexplode keeps ``span_idx``; payload
+parsing is ``split`` + ``cast`` (no UDFs); reassembly is
+``array_sort(collect_list(struct(span_idx, ...)))``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.expressions import cell_id_col
+
+SPANS_SCHEMA_DDL = (
+    "doc_id string, "
+    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+)
+
+
+def explode_spans(docs: DataFrame) -> DataFrame:
+    """One row per span, position-preserving.
+
+    Output: (doc_id, span_idx, kind, text, media_ref, offset).
+    """
+    return docs.select(
+        "doc_id",
+        F.posexplode("spans").alias("span_idx", "span"),
+    ).select(
+        "doc_id",
+        "span_idx",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+def extract_geo_spans(docs: DataFrame, res: int | None = None) -> DataFrame:
+    """Geo points from the documents table.
+
+    Output: (doc_id, span_idx, lat, lon [, cell_r{res}]). Filter on
+    ``kind='geo'`` is pushed as close to the scan as Catalyst allows;
+    payload parse is split+cast column math. Rows whose payload fails to
+    parse or is out of range are dropped (mirrors reference coordinate
+    validation, distance.py:86-91).
+    """
+    pts = (
+        explode_spans(docs)
+        .filter(F.col("kind") == "geo")
+        .withColumn("lat", F.split("text", ",").getItem(0).cast("double"))
+        .withColumn("lon", F.split("text", ",").getItem(1).cast("double"))
+        .filter(
+            F.col("lat").isNotNull() & F.col("lon").isNotNull()
+            & F.col("lat").between(-90.0, 90.0)
+            & F.col("lon").between(-180.0, 180.0)
+        )
+        .select("doc_id", "span_idx", "lat", "lon")
+    )
+    if res is not None:
+        pts = pts.withColumn(f"cell_r{res}", cell_id_col("lat", "lon", res))
+    return pts
+
+
+def extract_media_spans(docs: DataFrame) -> DataFrame:
+    """Media spans with parsed scheme/key metadata (binary payloads are
+    opaque references at this layer; decode happens in textops.multimodal).
+    """
+    return (
+        explode_spans(docs)
+        .filter(F.col("kind") == "media")
+        .withColumn("media_scheme", F.split("media_ref", "://").getItem(0))
+        .withColumn("media_key", F.split("media_ref", "://").getItem(1))
+        .select("doc_id", "span_idx", "media_ref", "media_scheme", "media_key", "offset")
+    )
+
+
+def reassemble_spans(spans: DataFrame) -> DataFrame:
+    """Inverse of :func:`explode_spans`: rows -> documents with the span
+    array restored in original order (array_sort on a struct whose FIRST
+    field is span_idx sorts by position).
+    """
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("span_idx", "kind", "text", "media_ref", "offset")
+                    )
+                ),
+                lambda s: F.struct(
+                    s["kind"].alias("kind"),
+                    s["text"].alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                    s["offset"].alias("offset"),
+                ),
+            ).alias("spans")
+        )
+    )
+
+
+def span_fingerprint(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_spans, span_fp) — md5 over the ordered
+    (kind, text, media_ref) sequence. Two documents have equal
+    fingerprints iff their span sequences are equal; this is the
+    engine's span-sequence-equality verifier primitive.
+    """
+    return docs.select(
+        "doc_id",
+        F.size("spans").alias("n_spans"),
+        F.md5(
+            F.concat_ws(
+                "\x1e",
+                F.transform(
+                    "spans",
+                    lambda s: F.concat_ws(
+                        "\x1f",
+                        F.coalesce(s["kind"], F.lit("\x00")),
+                        F.coalesce(s["text"], F.lit("\x00")),
+                        F.coalesce(s["media_ref"], F.lit("\x00")),
+                    ),
+                ),
+            )
+        ).alias("span_fp"),
+    )
+
+
+def verify_span_sequence(original: DataFrame, roundtripped: DataFrame) -> int:
+    """Count documents whose span sequence changed (must be 0).
+
+    Full-outer join on doc_id of the two fingerprint relations; any
+    mismatch or missing doc counts as a violation.
+    """
+    a = span_fingerprint(original).alias("a")
+    b = span_fingerprint(roundtripped).alias("b")
+    return (
+        a.join(b, on="doc_id", how="full_outer")
+        .filter(
+            F.col("a.span_fp").isNull()
+            | F.col("b.span_fp").isNull()
+            | (F.col("a.span_fp") != F.col("b.span_fp"))
+        )
+        .count()
+    )
