@@ -1,0 +1,22 @@
+from .distances import (
+    bearing,
+    destination,
+    geodist,
+    geodist_dimwise,
+    geodist_matrix,
+    geodist_to_many,
+    greatcircle,
+    haversine_dist,
+    interpolate,
+    midpoint,
+)
+from .knn import geodesic_knn, knn_join
+from .polygons import point_in_polygon_join, zonal_stats
+from .radius import point_in_radius, radius_join
+
+__all__ = [
+    "bearing", "destination", "geodist", "geodist_dimwise", "geodist_matrix",
+    "geodist_to_many", "greatcircle", "haversine_dist", "interpolate",
+    "midpoint", "geodesic_knn", "knn_join", "point_in_polygon_join",
+    "zonal_stats", "point_in_radius", "radius_join",
+]

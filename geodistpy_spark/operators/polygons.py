@@ -1,0 +1,189 @@
+"""Point-in-polygon spatial join + raster<->vector zonal assignment.
+
+Polygon sets are small by contract (the broadcast side — north rule:
+"broadcast of small polygon sets"); points/tiles are the big side.
+
+Plan shape:
+  1. driver: per-polygon conservative cell cover (cells intersecting the
+     ring's antimeridian-unwrapped bbox) at a shared resolution,
+  2. broadcast equi-join (cell -> candidate poly_id) against the points'
+     cell ids — integer-key join, no geometry at this stage,
+  3. exact refine: vectorized ray-cast inside an Arrow batch, polygons
+     closed over by the UDF (grouped by poly_id inside each batch so the
+     edge loop is over <= ~20 edges, vectorized over points).
+
+Semantics: planar even-odd ray-cast in an unwrapped (lon, lat) frame per
+polygon — rings crossing the antimeridian are unwrapped relative to
+their first vertex; polar-cap rings (unwrapped lon span ~360) are closed
+through the pole so the cap interior is the region poleward of the ring.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import grid
+from ..functions.expressions import cell_id_col
+
+
+def _unwrap(lons: np.ndarray, ref: float) -> np.ndarray:
+    return np.mod(lons - ref + 180.0, 360.0) - 180.0
+
+
+def _prep_polygon(vlat: np.ndarray, vlon: np.ndarray):
+    """Unwrap ring; close polar caps through the pole.
+
+    Returns (vlat, vlon_unwrapped, ref_lon).
+    """
+    ref = float(vlon[0])
+    u = _unwrap(vlon, ref)
+    # cumulative unwrap so consecutive vertices never jump > 180
+    for i in range(1, len(u)):
+        d = u[i] - u[i - 1]
+        if d > 180.0:
+            u[i:] -= 360.0
+        elif d < -180.0:
+            u[i:] += 360.0
+    span = u.max() - u.min()
+    if span > 350.0:  # polar cap: close through the nearer pole
+        pole = 90.0 if vlat.mean() > 0 else -90.0
+        vlat = np.concatenate([vlat, [pole, pole]])
+        u = np.concatenate([u, [u[-1], u[0]]])
+    return vlat, u, ref
+
+
+def _ring_bbox(vlat: np.ndarray, vlon_u: np.ndarray):
+    return float(vlat.min()), float(vlat.max()), float(vlon_u.min()), float(vlon_u.max())
+
+
+def polygon_cover_pairs(polys: list[dict], res: int | None = None):
+    """[(cell_id, poly_id)] candidate pairs at a shared resolution.
+
+    ``polys``: [{poly_id, lat: ndarray, lon: ndarray}]. Cover = all cells
+    intersecting the unwrapped bbox inflated by one cell (conservative
+    for the even-odd interior, which is a subset of the bbox).
+    """
+    prepped = {}
+    spans = []
+    for p in polys:
+        vlat, vlon_u, ref = _prep_polygon(np.asarray(p["lat"], float), np.asarray(p["lon"], float))
+        prepped[p["poly_id"]] = (vlat, vlon_u, ref)
+        la0, la1, lo0, lo1 = _ring_bbox(vlat, vlon_u)
+        spans.append(max(la1 - la0, lo1 - lo0, 1e-3))
+    if res is None:
+        # shared res: largest polygon drives the cell size (keeps every
+        # cover <= a few hundred cells)
+        res = min(max(int(math.floor(math.log2(360.0 / max(spans)))) + 3, 0), grid.MAX_RES)
+    n = 1 << res
+    pairs = []
+    for pid, (vlat, vlon_u, ref) in prepped.items():
+        la0, la1, lo0, lo1 = _ring_bbox(vlat, vlon_u)
+        pad_lat = 180.0 / n
+        y0 = max(int((la0 - pad_lat + 90.0) / 180.0 * n), 0)
+        y1 = min(int((la1 + pad_lat + 90.0) / 180.0 * n), n - 1)
+        x0f = lo0 - 360.0 / n
+        x1f = lo1 + 360.0 / n
+        span_cells = min(int(math.ceil((x1f - x0f) / (360.0 / n))) + 1, n)
+        # map unwrapped lon back to absolute for cell x
+        x_start = int(math.floor((((x0f + ref) + 180.0) % 360.0) / 360.0 * n))
+        for y in range(y0, y1 + 1):
+            for i in range(span_cells):
+                pairs.append(((y * n + (x_start + i) % n), pid))
+    return res, pairs, prepped
+
+
+def _pip_refine_udf(prepped: dict):
+    """(lat, lon, poly_id) -> bool, vectorized even-odd ray-cast."""
+
+    @F.pandas_udf(T.BooleanType())
+    def _refine(lat: pd.Series, lon: pd.Series, poly_id: pd.Series) -> pd.Series:
+        la = lat.to_numpy()
+        lo = lon.to_numpy()
+        pid = poly_id.to_numpy()
+        inside = np.zeros(len(la), dtype=bool)
+        for p in np.unique(pid):
+            vlat, vlon_u, ref = prepped[p]
+            sel = pid == p
+            plat = la[sel]
+            plon = _unwrap(lo[sel], ref)
+            # candidates may sit one wrap off after unwrap vs ring frame
+            lo_min = vlon_u.min()
+            plon = np.where(plon < lo_min - 180.0, plon + 360.0, plon)
+            plon = np.where(plon > vlon_u.max() + 180.0, plon - 360.0, plon)
+            acc = np.zeros(len(plat), dtype=bool)
+            x1, y1 = vlon_u, vlat
+            x2 = np.roll(vlon_u, -1)
+            y2 = np.roll(vlat, -1)
+            for e in range(len(vlat)):
+                xi, yi, xj, yj = x1[e], y1[e], x2[e], y2[e]
+                if yi == yj:
+                    continue
+                cond = (yi > plat) != (yj > plat)
+                xint = (xj - xi) * (plat - yi) / (yj - yi) + xi
+                acc ^= cond & (plon < xint)
+            inside[sel] = acc
+        return pd.Series(inside)
+
+    return _refine
+
+
+def _load_polygons(polygons: DataFrame) -> list[dict]:
+    rows = polygons.select("poly_id", "ring").collect()
+    return [
+        {
+            "poly_id": r["poly_id"],
+            "lat": np.array([v["lat"] for v in r["ring"]]),
+            "lon": np.array([v["lon"] for v in r["ring"]]),
+        }
+        for r in rows
+    ]
+
+
+def point_in_polygon_join(points: DataFrame, polygons: DataFrame,
+                          lat_col: str = "lat", lon_col: str = "lon",
+                          how: str = "inner") -> DataFrame:
+    """Join each point to the polygon(s) containing it.
+
+    ``polygons``: (poly_id, name?, ring: array<struct<lat,lon>>) — small,
+    collected driver-side and broadcast both as cover pairs and in the
+    refine UDF closure. ``how='left'`` keeps non-matching points with
+    null poly_id (used by zonal stats to count unassigned tiles).
+    """
+    spark = points.sparkSession
+    polys = _load_polygons(polygons)
+    res, pairs, prepped = polygon_cover_pairs(polys)
+    pairs_df = spark.createDataFrame(pairs, schema="__cell long, poly_id long")
+
+    pts = points.withColumn("__cell", cell_id_col(lat_col, lon_col, res))
+    cand = pts.join(F.broadcast(pairs_df), on="__cell", how="inner")
+    refine = _pip_refine_udf(prepped)
+    hit = cand.filter(refine(F.col(lat_col), F.col(lon_col), F.col("poly_id"))).drop("__cell")
+    if how == "inner":
+        return hit
+    if how == "left":
+        return points.join(hit.select(*points.columns, "poly_id"),
+                           on=points.columns, how="left")
+    raise ValueError(f"unsupported how={how!r}")
+
+
+def zonal_stats(raster: DataFrame, polygons: DataFrame,
+                value_col: str = "value",
+                lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
+    """Raster->vector zonal assignment + aggregate: each tile joined to
+    its containing zone, then per-zone sum/avg/count/min/max of
+    ``value_col`` (SURVEY.md §2.4: cell-id equi-join + groupBy(zone)).
+    """
+    assigned = point_in_polygon_join(raster, polygons, lat_col=lat_col, lon_col=lon_col)
+    return assigned.groupBy("poly_id").agg(
+        F.count("*").alias("n_tiles"),
+        F.sum(value_col).alias("sum_value"),
+        F.avg(value_col).alias("avg_value"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+    )
