@@ -50,16 +50,33 @@ def _prep_polygon(vlat: np.ndarray, vlon: np.ndarray):
             u[i:] -= 360.0
         elif d < -180.0:
             u[i:] += 360.0
-    span = u.max() - u.min()
-    if span > 350.0:  # polar cap: close through the nearer pole
+    # pole-encircling detection: total longitudinal winding of the closed
+    # ring is ±360 for a cap, 0 for an ordinary polygon
+    closing = np.mod(u[0] - u[-1] + 180.0, 360.0) - 180.0
+    winding = (u[-1] - u[0]) + closing
+    if abs(winding) > 180.0:  # polar cap: close through the nearer pole
         pole = 90.0 if vlat.mean() > 0 else -90.0
+        # continue the winding to the pole so the two added meridional
+        # edges seal the cap (the lat==pole edge is skipped by ray-cast)
+        u_end = u[-1] + closing
         vlat = np.concatenate([vlat, [pole, pole]])
-        u = np.concatenate([u, [u[-1], u[0]]])
+        u = np.concatenate([u, [u_end, u[0]]])
     return vlat, u, ref
 
 
 def _ring_bbox(vlat: np.ndarray, vlon_u: np.ndarray):
     return float(vlat.min()), float(vlat.max()), float(vlon_u.min()), float(vlon_u.max())
+
+
+def _map_lon_into_ring(plon_u: np.ndarray, ring_lon_min: float) -> np.ndarray:
+    """Map unwrapped point longitudes into [ring_min, ring_min + 360).
+
+    A ring (possibly pole-encircling) occupies one 360-wide window in its
+    unwrapped frame; placing every point in that window preserves
+    inside/outside for ordinary polygons (width < 360 ⇒ the extra strip
+    is edge-free) and aligns all longitudes for caps.
+    """
+    return ring_lon_min + np.mod(plon_u - ring_lon_min, 360.0)
 
 
 def polygon_cover_pairs(polys: list[dict], res: int | None = None):
@@ -111,11 +128,7 @@ def _pip_refine_udf(prepped: dict):
             vlat, vlon_u, ref = prepped[p]
             sel = pid == p
             plat = la[sel]
-            plon = _unwrap(lo[sel], ref)
-            # candidates may sit one wrap off after unwrap vs ring frame
-            lo_min = vlon_u.min()
-            plon = np.where(plon < lo_min - 180.0, plon + 360.0, plon)
-            plon = np.where(plon > vlon_u.max() + 180.0, plon - 360.0, plon)
+            plon = _map_lon_into_ring(_unwrap(lo[sel], ref), vlon_u.min())
             acc = np.zeros(len(plat), dtype=bool)
             x1, y1 = vlon_u, vlat
             x2 = np.roll(vlon_u, -1)

@@ -60,8 +60,8 @@ def extract_geo_spans(docs: DataFrame, res: int | None = None) -> DataFrame:
     pts = (
         explode_spans(docs)
         .filter(F.col("kind") == "geo")
-        .withColumn("lat", F.split("text", ",").getItem(0).cast("double"))
-        .withColumn("lon", F.split("text", ",").getItem(1).cast("double"))
+        .withColumn("lat", F.split("text", ",").getItem(0).try_cast("double"))
+        .withColumn("lon", F.split("text", ",").getItem(1).try_cast("double"))
         .filter(
             F.col("lat").isNotNull() & F.col("lon").isNotNull()
             & F.col("lat").between(-90.0, 90.0)

@@ -1,0 +1,98 @@
+"""Interleaved-documents source tests: extraction + span-sequence invariant."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from geodistpy_spark.sources import (
+    explode_spans,
+    extract_geo_spans,
+    extract_media_spans,
+    reassemble_spans,
+    span_fingerprint,
+    verify_span_sequence,
+)
+
+
+class TestExtraction:
+    def test_schema_matches_input_hint(self, docs):
+        assert [f.name for f in docs.schema.fields] == ["doc_id", "spans"]
+        span_t = docs.schema["spans"].dataType.elementType
+        assert [f.name for f in span_t.fields] == ["kind", "text", "media_ref", "offset"]
+
+    def test_geo_extraction_parses_payloads(self, docs):
+        geo = extract_geo_spans(docs).toPandas()
+        assert len(geo) > 0
+        assert geo.lat.between(-90, 90).all()
+        assert geo.lon.between(-180, 180).all()
+        # cross-check one doc's payload against a manual parse
+        row = docs.filter(F.col("doc_id") == geo.doc_id.iloc[0]).collect()[0]
+        span = row["spans"][int(geo.span_idx.iloc[0])]
+        lat_s, lon_s = span["text"].split(",")
+        assert float(lat_s) == geo.lat.iloc[0]
+        assert float(lon_s) == geo.lon.iloc[0]
+
+    def test_geo_extraction_with_cell_index(self, docs):
+        from geodistpy_spark import grid as G
+
+        geo = extract_geo_spans(docs, res=10).toPandas()
+        exp = G.cell_id_np(geo.lat.values, geo.lon.values, 10)
+        assert (geo.cell_r10.values == exp).all()
+
+    def test_media_extraction(self, docs):
+        media = extract_media_spans(docs).toPandas()
+        assert len(media) > 0
+        assert (media.media_scheme == "media").all()
+        assert media.media_key.str.len().gt(0).all()
+
+    def test_malformed_payloads_dropped(self, spark):
+        bad = spark.createDataFrame(
+            [("d1", [{"kind": "geo", "text": "not,anumber", "media_ref": None, "offset": 0},
+                     {"kind": "geo", "text": "91.0,0.0", "media_ref": None, "offset": 10},
+                     {"kind": "geo", "text": "10.0,20.0", "media_ref": None, "offset": 20}])],
+            schema="doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>")
+        geo = extract_geo_spans(bad).toPandas()
+        assert len(geo) == 1 and geo.lat.iloc[0] == 10.0
+
+
+class TestSpanInvariant:
+    """The per-row invariant vs the reference: span-sequence equality
+    (kind, text, media_ref, order) through extract -> index -> join ->
+    reassemble (BASELINE.json input_hint)."""
+
+    def test_roundtrip_identity(self, docs):
+        rt = reassemble_spans(explode_spans(docs))
+        assert verify_span_sequence(docs, rt) == 0
+
+    def test_fingerprint_detects_reorder(self, spark, docs):
+        shuffled = explode_spans(docs).withColumn(
+            "span_idx",
+            F.when(F.col("span_idx") == 0, F.lit(1_000_000)).otherwise(F.col("span_idx")),
+        )
+        rt = reassemble_spans(shuffled)
+        # docs with >= 2 spans get their first span moved to the end
+        n_multi = docs.filter(F.size("spans") >= 2).count()
+        assert verify_span_sequence(docs, rt) == n_multi
+
+    def test_fingerprint_detects_drop(self, spark, docs):
+        dropped = explode_spans(docs).filter(F.col("span_idx") != 0)
+        rt = reassemble_spans(dropped)
+        viol = verify_span_sequence(docs, rt)
+        assert viol == docs.count()  # every doc lost its first span
+
+    def test_extraction_is_nondestructive(self, docs):
+        # running extraction does not alter the source relation
+        before = span_fingerprint(docs).toPandas().sort_values("doc_id")
+        _ = extract_geo_spans(docs).count()
+        after = span_fingerprint(docs).toPandas().sort_values("doc_id")
+        assert (before.span_fp.values == after.span_fp.values).all()
+
+    def test_join_preserves_span_sequence(self, docs, places):
+        """End-to-end: extract points, radius-join them, reassemble from
+        the ORIGINAL spans of the joined docs — sequences intact."""
+        from geodistpy_spark.operators import point_in_radius
+
+        geo = extract_geo_spans(docs)
+        hits = point_in_radius(geo, (48.85, 2.35), 2_000_000.0)
+        hit_docs = docs.join(hits.select("doc_id").distinct(), on="doc_id", how="inner")
+        rt = reassemble_spans(explode_spans(hit_docs))
+        assert verify_span_sequence(hit_docs, rt) == 0

@@ -1,0 +1,94 @@
+"""Quad-grid cell index tests: id math, covers, rings, conservativeness."""
+
+import numpy as np
+
+from geodistpy_spark import grid as G
+from geodistpy_spark import kernels as K
+
+
+class TestCellMath:
+    def test_cell_id_bounds(self):
+        res = 10
+        n = 1 << res
+        assert G.cell_id(-90.0, -180.0, res) == 0
+        assert G.cell_id(89.9999, 179.9999, res) == n * n - 1
+        # lon wraps: +180 == -180
+        assert G.cell_id(10.0, 180.0, res) == G.cell_id(10.0, -180.0, res)
+        # lat clamps at the pole
+        assert G.cell_id(90.0, 0.0, res) == G.cell_id(89.99999, 0.0, res)
+
+    def test_np_matches_scalar(self):
+        rng = np.random.default_rng(1)
+        lat = rng.uniform(-90, 90, 500)
+        lon = rng.uniform(-180, 180, 500)
+        for res in (3, 9, 15):
+            ids = G.cell_id_np(lat, lon, res)
+            for i in range(0, 500, 97):
+                assert ids[i] == G.cell_id(lat[i], lon[i], res)
+
+    def test_parent_child(self):
+        res = 12
+        for lat, lon in [(48.85, 2.35), (-33.9, 151.2), (89.95, -179.95)]:
+            c = G.cell_id(lat, lon, res)
+            p = G.parent_cell(c, res, res - 2)
+            assert p == G.cell_id(lat, lon, res - 2)
+
+    def test_cell_center_roundtrip(self):
+        res = 8
+        for cell in [0, 12345, (1 << (2 * res)) - 1]:
+            la, lo = G.cell_center(cell, res)
+            assert G.cell_id(la, lo, res) == cell
+
+
+class TestKRing:
+    def test_interior_ring_size(self):
+        cells = G.k_ring(40.0, 30.0, 10, 1)
+        assert len(cells) == 9
+
+    def test_antimeridian_wrap(self):
+        cells = G.k_ring(0.0, 179.999, 8, 1)
+        assert len(cells) == 9
+        n = 1 << 8
+        xs = {c % n for c in cells}
+        assert 0 in xs and n - 1 in xs  # wrapped across the seam
+
+    def test_polar_clamp(self):
+        cells = G.k_ring(89.999, 0.0, 8, 1)
+        assert len(cells) == 6  # top row clipped
+
+
+class TestCoverConservative:
+    """The load-bearing property: cover(center, R) contains EVERY point
+    within geodesic distance R — this is what makes prefilter+refine an
+    exact rewrite of the distance theta-join."""
+
+    def test_random_stress(self):
+        rng = np.random.default_rng(7)
+        for trial in range(120):
+            clat = rng.uniform(-89.999, 89.999)
+            clon = rng.uniform(-180, 180)
+            if trial % 5 == 0:
+                clat = rng.uniform(85, 89.999) * rng.choice([-1, 1])
+            if trial % 7 == 0:
+                clon = rng.uniform(179, 180) * rng.choice([-1, 1])
+            radius = 10 ** rng.uniform(2.0, 6.8)
+            res, cover = G.cell_cover(clat, clon, radius)
+            cover_set = set(cover)
+            m = 300
+            dlat = radius / 110567 * 1.3
+            plat = np.clip(clat + rng.uniform(-dlat, dlat, m), -90, 90)
+            dlon = min(radius / (111319.49 * max(np.cos(np.radians(np.abs(plat).max())), 1e-6)) * 1.5, 180)
+            plon = ((clon + rng.uniform(-dlon, dlon, m) + 180) % 360) - 180
+            d = K.geodesic_inverse(np.full(m, clat), np.full(m, clon), plat, plon)
+            cids = G.cell_id_np(plat[d <= radius], plon[d <= radius], res)
+            assert all(c in cover_set for c in cids), (clat, clon, radius)
+
+    def test_pole_cap_cover(self):
+        res, cover = G.cell_cover(89.9, 0.0, 100_000.0)
+        n = 1 << res
+        top_row = {(n - 1) * n + x for x in range(n)}
+        assert top_row <= set(cover)  # full top row present
+
+    def test_pick_resolution_monotone(self):
+        rs = [G.pick_resolution(r) for r in (100, 1e4, 1e6, 1e7)]
+        assert rs == sorted(rs, reverse=True)

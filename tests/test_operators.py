@@ -1,0 +1,272 @@
+"""Spark operator tests: results must equal brute-force/kernel oracles."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geodistpy_spark import kernels as K
+from geodistpy_spark.operators import (
+    bearing,
+    destination,
+    geodesic_knn,
+    geodist,
+    geodist_matrix,
+    geodist_to_many,
+    greatcircle,
+    interpolate,
+    knn_join,
+    midpoint,
+    point_in_polygon_join,
+    point_in_radius,
+    radius_join,
+    zonal_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def places_pd(places):
+    return places.toPandas()
+
+
+@pytest.fixture(scope="module")
+def pair_df(spark, places_pd):
+    a = places_pd.head(300).reset_index(drop=True)
+    b = places_pd.tail(300).reset_index(drop=True)
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "id": np.arange(300),
+        "lat1": a.lat.values, "lon1": a.lon.values,
+        "lat2": b.lat.values, "lon2": b.lon.values,
+    })
+    return spark.createDataFrame(pdf), pdf
+
+
+class TestDistances:
+    def test_geodist_matches_kernel(self, pair_df):
+        df, pdf = pair_df
+        out = geodist(df, "lat1", "lon1", "lat2", "lon2").orderBy("id").toPandas()
+        exp = K.geodesic_inverse(pdf.lat1.values, pdf.lon1.values,
+                                 pdf.lat2.values, pdf.lon2.values)
+        assert np.allclose(out.dist.values, exp, atol=1e-6)
+
+    def test_geodist_km(self, pair_df):
+        df, pdf = pair_df
+        out = geodist(df, "lat1", "lon1", "lat2", "lon2", metric="km").orderBy("id").toPandas()
+        exp = K.geodesic_inverse(pdf.lat1.values, pdf.lon1.values,
+                                 pdf.lat2.values, pdf.lon2.values) / 1000.0
+        assert np.allclose(out.dist.values, exp, atol=1e-9)
+
+    def test_greatcircle_expression_matches_kernel(self, pair_df):
+        df, pdf = pair_df
+        out = greatcircle(df, "lat1", "lon1", "lat2", "lon2").orderBy("id").toPandas()
+        exp = K.great_circle(pdf.lat1.values, pdf.lon1.values,
+                             pdf.lat2.values, pdf.lon2.values)
+        assert np.allclose(out.dist.values, exp, rtol=1e-12, atol=1e-6)
+
+    def test_geodist_to_many(self, places, places_pd):
+        origin = (48.8566, 2.3522)
+        out = geodist_to_many(places, origin).orderBy("place_id").toPandas()
+        exp = K.geodesic_inverse(np.full(len(places_pd), origin[0]),
+                                 np.full(len(places_pd), origin[1]),
+                                 places_pd.sort_values("place_id").lat.values,
+                                 places_pd.sort_values("place_id").lon.values)
+        assert np.allclose(out.dist.values, exp, atol=1e-6)
+
+    def test_matrix_pdist_symmetric_mirror(self, spark, places_pd):
+        sub = spark.createDataFrame(places_pd.head(40)[["place_id", "lat", "lon"]])
+        m = geodist_matrix(sub, id_col="place_id").toPandas()
+        assert len(m) == 40 * 39  # both triangles, no diagonal
+        piv = m.pivot(index="id_1", columns="id_2", values="dist")
+        mat = piv.values
+        assert np.allclose(mat, mat.T, equal_nan=True, atol=1e-9)
+
+    def test_matrix_cdist(self, spark, places_pd):
+        a = spark.createDataFrame(places_pd.head(20)[["place_id", "lat", "lon"]])
+        b = spark.createDataFrame(places_pd.tail(30)[["place_id", "lat", "lon"]])
+        m = geodist_matrix(a, b, id_col="place_id").toPandas()
+        assert len(m) == 600
+        row = m[(m.id_1 == m.id_1.iloc[0])].iloc[0]
+        pa = places_pd[places_pd.place_id == row.id_1].iloc[0]
+        pb = places_pd[places_pd.place_id == row.id_2].iloc[0]
+        exp = K.geodesic_inverse([pa.lat], [pa.lon], [pb.lat], [pb.lon])[0]
+        assert abs(row.dist - exp) < 1e-6
+
+    def test_bearing_destination_roundtrip(self, pair_df):
+        df, pdf = pair_df
+        out = bearing(df, "lat1", "lon1", "lat2", "lon2")
+        out = geodist(out, "lat1", "lon1", "lat2", "lon2", out="d_m")
+        out = destination(out, "lat1", "lon1", "bearing_deg", "d_m").orderBy("id").toPandas()
+        assert np.allclose(out.dest_lat.values, pdf.lat2.values, atol=1e-6)
+        dlon = np.abs(((out.dest_lon.values - pdf.lon2.values + 180) % 360) - 180)
+        assert dlon.max() < 1e-6
+
+    def test_midpoint_equidistant(self, spark, places_pd):
+        import pandas as pd
+
+        pdf = pd.DataFrame({
+            "lat1": places_pd.lat.values[:50], "lon1": places_pd.lon.values[:50],
+            "lat2": places_pd.lat.values[50:100], "lon2": places_pd.lon.values[50:100],
+        })
+        df = spark.createDataFrame(pdf)
+        out = midpoint(df, "lat1", "lon1", "lat2", "lon2").toPandas()
+        d1 = K.geodesic_inverse(out.lat1.values, out.lon1.values,
+                                out.mid_lat.values, out.mid_lon.values)
+        d2 = K.geodesic_inverse(out.mid_lat.values, out.mid_lon.values,
+                                out.lat2.values, out.lon2.values)
+        assert np.allclose(d1, d2, atol=1e-3)
+
+    def test_interpolate_explodes_waypoints(self, spark):
+        df = spark.createDataFrame([(0, 10.0, 10.0, 20.0, 20.0)],
+                                   "id long, lat1 double, lon1 double, lat2 double, lon2 double")
+        out = interpolate(df, "lat1", "lon1", "lat2", "lon2", n_points=4).toPandas()
+        assert len(out) == 4
+        assert list(out.waypoint_idx) == [0, 1, 2, 3]
+        total = K.geodesic_inverse([10.0], [10.0], [20.0], [20.0])[0]
+        seg = K.geodesic_inverse([10.0], [10.0], [out.wp_lat[0]], [out.wp_lon[0]])[0]
+        assert abs(seg - total / 5) < 1e-3
+
+
+class TestRadius:
+    def test_point_in_radius_exact_vs_brute(self, places, places_pd):
+        for center, radius in [((48.85, 2.35), 500_000.0),
+                               ((89.95, 10.0), 300_000.0),
+                               ((0.0, 179.95), 200_000.0)]:
+            got = point_in_radius(places, center, radius).select("place_id").toPandas()
+            d = K.geodesic_inverse(np.full(len(places_pd), center[0]),
+                                   np.full(len(places_pd), center[1]),
+                                   places_pd.lat.values, places_pd.lon.values)
+            exp = set(places_pd.place_id.values[d <= radius])
+            assert set(got.place_id) == exp
+
+    def test_boundary_inclusive(self, spark):
+        # candidate exactly AT the radius must be returned (distance.py:453)
+        center = (10.0, 20.0)
+        la, lo, _ = K.vincenty_direct([center[0]], [center[1]], [45.0], [100_000.0])
+        df = spark.createDataFrame([(0, float(la[0]), float(lo[0]))], "id long, lat double, lon double")
+        d_exact = K.geodesic_inverse([center[0]], [center[1]], la, lo)[0]
+        got = point_in_radius(df, center, float(d_exact)).count()
+        assert got == 1
+
+    def test_radius_join_vs_brute(self, spark, places, places_pd):
+        qpd = places_pd.head(30).rename(
+            columns={"place_id": "query_id", "lat": "q_lat", "lon": "q_lon"}
+        )[["query_id", "q_lat", "q_lon"]]
+        queries = spark.createDataFrame(qpd)
+        radius = 300_000.0
+        rj = radius_join(queries, places, radius).select("query_id", "place_id").toPandas()
+        got = set(zip(rj.query_id, rj.place_id))
+        exp = set()
+        for _, q in qpd.iterrows():
+            d = K.geodesic_inverse(np.full(len(places_pd), q.q_lat),
+                                   np.full(len(places_pd), q.q_lon),
+                                   places_pd.lat.values, places_pd.lon.values)
+            exp |= {(q.query_id, p) for p in places_pd.place_id.values[d <= radius]}
+        assert got == exp
+
+    def test_radius_join_salted_same_result(self, spark, places, places_pd):
+        qpd = places_pd.head(10).rename(
+            columns={"place_id": "query_id", "lat": "q_lat", "lon": "q_lon"}
+        )[["query_id", "q_lat", "q_lon"]]
+        queries = spark.createDataFrame(qpd)
+        plain = radius_join(queries, places, 200_000.0).select("query_id", "place_id").toPandas()
+        salted = radius_join(queries, places, 200_000.0, salt=4).select("query_id", "place_id").toPandas()
+        assert set(zip(plain.query_id, plain.place_id)) == set(zip(salted.query_id, salted.place_id))
+
+
+class TestKnn:
+    def test_knn_single_vs_brute(self, places, places_pd):
+        center = (48.85, 2.35)
+        k = 12
+        got = geodesic_knn(places, center, k, id_col="place_id").toPandas()
+        d = K.geodesic_inverse(np.full(len(places_pd), center[0]),
+                               np.full(len(places_pd), center[1]),
+                               places_pd.lat.values, places_pd.lon.values)
+        order = np.lexsort((places_pd.place_id.values, d))[:k]
+        assert list(got.place_id) == list(places_pd.place_id.values[order])
+        assert np.allclose(np.sort(got.dist.values), np.sort(d[order]), atol=1e-6)
+
+    def test_knn_k_validation(self, places):
+        with pytest.raises(ValueError):
+            geodesic_knn(places, (0.0, 0.0), 0)
+
+    def test_knn_join_vs_brute(self, spark, places, places_pd):
+        qpd = places_pd.head(25).rename(
+            columns={"place_id": "query_id", "lat": "q_lat", "lon": "q_lon"}
+        )[["query_id", "q_lat", "q_lon"]]
+        queries = spark.createDataFrame(qpd)
+        k = 5
+        kj = knn_join(queries, places, k).select("query_id", "place_id", "dist").toPandas()
+        assert len(kj) == 25 * k
+        for _, q in qpd.iterrows():
+            d = K.geodesic_inverse(np.full(len(places_pd), q.q_lat),
+                                   np.full(len(places_pd), q.q_lon),
+                                   places_pd.lat.values, places_pd.lon.values)
+            exp_d = np.sort(d)[:k]
+            got_d = np.sort(kj[kj.query_id == q.query_id].dist.values)
+            assert np.allclose(got_d, exp_d, atol=1e-6)
+
+
+class TestPolygons:
+    def test_pip_vs_brute(self, places, polygons):
+        from geodistpy_spark.operators.polygons import (
+            _load_polygons,
+            _map_lon_into_ring,
+            _prep_polygon,
+            _unwrap,
+        )
+
+        places_pd = places.toPandas()
+        polys = _load_polygons(polygons)
+        exp = set()
+        for p in polys:
+            vlat, vlon_u, ref = _prep_polygon(p["lat"], p["lon"])
+            plat = places_pd.lat.values
+            plon = _map_lon_into_ring(_unwrap(places_pd.lon.values, ref), vlon_u.min())
+            acc = np.zeros(len(plat), dtype=bool)
+            x2 = np.roll(vlon_u, -1)
+            y2 = np.roll(vlat, -1)
+            for e in range(len(vlat)):
+                xi, yi, xj, yj = vlon_u[e], vlat[e], x2[e], y2[e]
+                if yi == yj:
+                    continue
+                cond = (yi > plat) != (yj > plat)
+                xint = (xj - xi) * (plat - yi) / (yj - yi) + xi
+                acc ^= cond & (plon < xint)
+            exp |= {(int(i), int(p["poly_id"])) for i in places_pd.place_id.values[acc]}
+        got = point_in_polygon_join(places, polygons).select("place_id", "poly_id").toPandas()
+        assert set(zip(got.place_id.astype(int), got.poly_id.astype(int))) == exp
+
+    def test_square_membership(self, spark):
+        sq = spark.createDataFrame(
+            [(99, "sq", [{"lat": 0.0, "lon": 0.0}, {"lat": 0.0, "lon": 10.0},
+                         {"lat": 10.0, "lon": 10.0}, {"lat": 10.0, "lon": 0.0}])],
+            schema="poly_id long, name string, ring array<struct<lat:double,lon:double>>")
+        pts = spark.createDataFrame(
+            [(1, 5.0, 5.0), (2, 15.0, 5.0), (3, 5.0, -1.0), (4, 9.99, 9.99)],
+            schema="pid long, lat double, lon double")
+        got = point_in_polygon_join(pts, sq).select("pid").toPandas()
+        assert sorted(got.pid) == [1, 4]
+
+    def test_antimeridian_polygon(self, spark):
+        ring = [{"lat": -5.0, "lon": 175.0}, {"lat": -5.0, "lon": -175.0},
+                {"lat": 5.0, "lon": -175.0}, {"lat": 5.0, "lon": 175.0}]
+        poly = spark.createDataFrame([(1, "am", ring)],
+                                     schema="poly_id long, name string, ring array<struct<lat:double,lon:double>>")
+        pts = spark.createDataFrame(
+            [(1, 0.0, 179.0), (2, 0.0, -179.0), (3, 0.0, 170.0), (4, 0.0, 0.0)],
+            schema="pid long, lat double, lon double")
+        got = point_in_polygon_join(pts, poly).select("pid").toPandas()
+        assert sorted(got.pid) == [1, 2]
+
+    def test_polar_cap_polygon(self, spark, polygons):
+        pts = spark.createDataFrame([(1, 89.5, 33.0), (2, 89.9, -120.0), (3, 80.0, 0.0)],
+                                    schema="pid long, lat double, lon double")
+        cap = polygons.filter(F.col("name") == "polar_cap_n")
+        got = point_in_polygon_join(pts, cap).select("pid").toPandas()
+        assert sorted(got.pid) == [1, 2]
+
+    def test_zonal_stats(self, raster, polygons):
+        zs = zonal_stats(raster, polygons).toPandas()
+        assert (zs.n_tiles > 0).all()
+        assert np.allclose(zs.sum_value.values / zs.n_tiles.values, zs.avg_value.values)
