@@ -1,0 +1,285 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact + near-dup (MinHash-LSH, SimHash, n-gram Jaccard, embedding
+cosine). All hash math is built from ``md5`` over explicit strings so
+results are engine-portable: the DuckDB oracle in __spark_entry__.py
+computes byte-identical signatures — the dedup pipeline itself is the
+correctness contract, not just row counts.
+
+Scale notes: every operator is groupBy/join-shaped (no UDFs at all in
+the exact/MinHash/SimHash paths — pure codegen'd string/array ops).
+MinHash runs one pass over exploded shingles with S hash columns and a
+single shuffle (groupBy doc_id); LSH banding turns the quadratic
+candidate problem into an equi-join on band keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_SEEDS = 12
+DEFAULT_BANDS = 4  # 3 rows per band
+
+
+def tokenize(df: DataFrame, text_col: str = "text", out: str = "words") -> DataFrame:
+    """Whitespace tokenization, lowercased, empty tokens removed."""
+    return df.withColumn(
+        out,
+        F.filter(F.split(F.lower(F.col(text_col)), " "), lambda w: w != ""),
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", k: int = 3,
+             out: str = "shingle") -> DataFrame:
+    """Word k-gram shingles, one row per (doc, distinct shingle)."""
+    toks = tokenize(df, text_col)
+    sh = toks.withColumn(
+        "__sh",
+        F.expr(
+            f"transform(sequence(1, greatest(size(words) - {k - 1}, 0)), "
+            f"i -> concat_ws(' ', slice(words, i, {k})))"
+        ),
+    )
+    return (
+        sh.select(df.columns[0], F.explode(F.array_distinct("__sh")).alias(out))
+    )
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Exact dedup by content hash: (text_hash, n_dups, keep_id, dup_ids).
+
+    keep-first policy: the smallest id in each hash group survives.
+    """
+    hashed = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+    return (
+        hashed.groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+            F.array_sort(F.collect_list(id_col)).alias("all_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Keep one row per distinct text (smallest id wins)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", k: int = 3,
+                       n_seeds: int = DEFAULT_SEEDS) -> DataFrame:
+    """MinHash signature per doc: mh{s} = min over shingles of
+    md5('{s}:' || shingle) — fixed-width hex strings, so string MIN is a
+    uniform hash MIN. One explode + one groupBy shuffle.
+    """
+    sh = shingles(df.select(id_col, text_col), text_col, k)
+    hashed = sh.select(
+        id_col,
+        *[
+            F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle"))).alias(f"h{s}")
+            for s in range(n_seeds)
+        ],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"h{s}").alias(f"mh{s}") for s in range(n_seeds)]
+    )
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 3,
+                        n_seeds: int = DEFAULT_SEEDS,
+                        n_bands: int = DEFAULT_BANDS) -> DataFrame:
+    """Near-dup candidate pairs via LSH banding: docs sharing any band of
+    the MinHash signature. Output: (id_1, id_2) with id_1 < id_2.
+    """
+    rows = n_seeds // n_bands
+    sig = minhash_signatures(df, id_col, text_col, k, n_seeds)
+    bands = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(b)),
+                        *[F.col(f"mh{b * rows + r}") for r in range(rows)],
+                    ).alias(f"b{b}")
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    a = bands.select(F.col(id_col).alias("id_1"), "band_key")
+    b = bands.select(F.col(id_col).alias("id_2"), "band_key")
+    return (
+        a.join(b, on="band_key")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
+
+
+def ngram_jaccard(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", k: int = 3) -> DataFrame:
+    """Exact shingle-set Jaccard for given (id_1, id_2) pairs.
+
+    Joins the distinct-shingle relation to itself through the pair list:
+    |A ∩ B| by equi-join on shingle, |A ∪ B| = |A| + |B| − |A ∩ B|.
+    """
+    sh = shingles(df.select(id_col, text_col), text_col, k).cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    inter = (
+        pairs.join(sh.select(F.col(id_col).alias("id_1"), "shingle"), on="id_1")
+        .join(sh.select(F.col(id_col).alias("id_2"), F.col("shingle").alias("shingle2")),
+              on="id_2")
+        .filter(F.col("shingle") == F.col("shingle2"))
+        .groupBy("id_1", "id_2")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        pairs.join(inter, on=["id_1", "id_2"], how="left")
+        .na.fill({"n_inter": 0})
+        .join(sizes.select(F.col(id_col).alias("id_1"), F.col("n_sh").alias("n_1")), on="id_1")
+        .join(sizes.select(F.col(id_col).alias("id_2"), F.col("n_sh").alias("n_2")), on="id_2")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_1") + F.col("n_2") - F.col("n_inter")),
+        )
+        .select("id_1", "id_2", "n_inter", "n_1", "n_2", "jaccard")
+    )
+
+
+def near_duplicates_minhash(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", k: int = 3,
+                            threshold: float = 0.7) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates -> exact Jaccard verify."""
+    pairs = lsh_candidate_pairs(df, id_col, text_col, k)
+    return ngram_jaccard(df, pairs, id_col, text_col, k).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 16, out: str = "simhash") -> DataFrame:
+    """SimHash over unigram tokens: bit b set iff the sum over tokens of
+    ±1 (per the b-th bit of md5(token)) is positive.
+
+    Token hash = first 4 hex chars of md5 -> 16-bit int (``conv`` in
+    Spark / ``from_hex`` arithmetic in DuckDB — both exact).
+    """
+    toks = tokenize(df.select(id_col, text_col), text_col)
+    t = toks.select(id_col, F.explode("words").alias("tok"))
+    t = t.withColumn("th", F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long"))
+    agg = t.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(bits)
+        ]
+    )
+    sim = agg.select(
+        id_col,
+        sum(
+            (F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+            for b in range(bits)
+        ).alias(out),
+    )
+    return sim
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", bits: int = 16,
+                       max_hamming: int = 2) -> DataFrame:
+    """Docs whose SimHashes differ in <= max_hamming bits.
+
+    Banding on bit-halves (a pair within Hamming distance 1 shares at
+    least one half exactly) prunes candidates; exact popcount refines.
+    """
+    sim = simhash(df, id_col, text_col, bits)
+    half = bits // 2
+    banded = sim.select(
+        id_col, "simhash",
+        F.explode(
+            F.array(
+                F.concat_ws(":", F.lit("lo"), (F.col("simhash") % (1 << half)).cast("string")),
+                F.concat_ws(":", F.lit("hi"), F.shiftright(F.col("simhash"), half).cast("string")),
+            )
+        ).alias("band"),
+    )
+    a = banded.select(F.col(id_col).alias("id_1"), F.col("simhash").alias("sh_1"), "band")
+    b = banded.select(F.col(id_col).alias("id_2"), F.col("simhash").alias("sh_2"), "band")
+    cand = (
+        a.join(b, on="band")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2", "sh_1", "sh_2")
+        .distinct()
+    )
+    return cand.withColumn(
+        "hamming", F.bit_count(F.col("sh_1").bitwiseXOR(F.col("sh_2")))
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def embedding_near_pairs(emb: DataFrame, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         threshold: float = 0.95,
+                         n_planes: int = 8, seed: int = 42) -> DataFrame:
+    """Embedding cosine near-dup pairs, LSH-bucketed for scale.
+
+    Random-hyperplane signature (n_planes sign bits, deterministic seeded
+    planes broadcast as literals) buckets vectors; exact cosine refines.
+    Near-identical vectors (cos >= ~0.95) collide on the full signature
+    with high probability; recall is traded off via n_planes.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    dim_row = emb.select(F.size(vec_col).alias("d")).first()
+    dim = dim_row["d"]
+    planes = rng.normal(0, 1, (n_planes, dim))
+
+    v = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    sig = v.withColumn(
+        "sig",
+        F.concat_ws(
+            "",
+            *[
+                F.when(
+                    F.aggregate(
+                        F.zip_with(
+                            "v",
+                            F.array(*[F.lit(float(x)) for x in planes[p]]),
+                            lambda a, b: a * b,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    >= 0,
+                    F.lit("1"),
+                ).otherwise(F.lit("0"))
+                for p in range(n_planes)
+            ],
+        ),
+    )
+    a = sig.select(F.col(id_col).alias("id_1"), F.col("v").alias("v1"), "sig")
+    b = sig.select(F.col(id_col).alias("id_2"), F.col("v").alias("v2"), "sig")
+    cand = a.join(b, on="sig").filter(F.col("id_1") < F.col("id_2"))
+
+    dot = F.aggregate(F.zip_with("v1", "v2", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    n1 = F.sqrt(F.aggregate(F.transform("v1", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    n2 = F.sqrt(F.aggregate(F.transform("v2", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    return (
+        cand.withColumn("cosine", dot / (n1 * n2))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_1", "id_2", "cosine")
+    )
