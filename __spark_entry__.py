@@ -1,38 +1,762 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship pipeline; ``queries()`` exposes
+one entry per implemented operator (SURVEY.md §2 + training-data ops);
+``oracle_sql()`` provides exact ANSI-SQL mirrors DuckDB runs on the same
+tables.
+
+Portability rules that make the oracles EXACT (not just close):
+- every non-integer literal in shared SQL uses e-notation (both Spark
+  and DuckDB parse ``100.0`` as DECIMAL, which diverges from the double
+  path; ``1e2`` is DOUBLE in both),
+- distances are rounded to whole meters, ratios/cosines to 6 decimals
+  (bridges JVM-vs-libm trig ulp differences),
+- derived coordinates are pure integer arithmetic over table keys
+  (bit-identical in both engines),
+- hash/text ops are md5/string built-ins (bit-identical).
+
+Iterative Vincenty/Karney paths are not SQL-expressible; those queries
+have no oracle entry (driver records rows-only checks).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+FIXTURE_DOCS = os.path.join(_REPO, "fixtures", "documents_interleaved.parquet")
+
+# ---------------------------------------------------------------------------
+# shared derived-point formulas (pure integer math -> exact in both engines)
+# ---------------------------------------------------------------------------
+
+PTS_LAT = "(({k} * 9973) % 17999) / 1e2 - 8.9995e1"
+PTS_LON = "(({k} * 7919) % 35999) / 1e2 - 1.79995e2"
+PTS_LAT2 = "(({k} * 104729 + 12345) % 17999) / 1e2 - 8.9995e1"
+PTS_LON2 = "(({k} * 95231 + 54321) % 35999) / 1e2 - 1.79995e2"
+QRY_LAT = "(({k} * 3571 + 11) % 17999) / 1e2 - 8.9995e1"
+QRY_LON = "(({k} * 6763 + 13) % 35999) / 1e2 - 1.79995e2"
+
+
+def _pair_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return cust.select(
+        F.col("c_custkey").alias("id"),
+        F.expr(PTS_LAT.format(k="c_custkey")).alias("lat1"),
+        F.expr(PTS_LON.format(k="c_custkey")).alias("lon1"),
+        F.expr(PTS_LAT2.format(k="c_custkey")).alias("lat2"),
+        F.expr(PTS_LON2.format(k="c_custkey")).alias("lon2"),
+    )
+
+
+def _cand_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return cust.select(
+        F.col("c_custkey").alias("cand_id"),
+        F.expr(PTS_LAT.format(k="c_custkey")).alias("lat"),
+        F.expr(PTS_LON.format(k="c_custkey")).alias("lon"),
+    )
+
+
+def _query_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return nat.select(
+        F.col("n_nationkey").cast("long").alias("query_id"),
+        F.expr(QRY_LAT.format(k="n_nationkey")).alias("q_lat"),
+        F.expr(QRY_LON.format(k="n_nationkey")).alias("q_lon"),
+    )
+
+
+_PAIR_SQL = (
+    "SELECT c_custkey AS id, "
+    f"{PTS_LAT.format(k='c_custkey')} AS lat1, {PTS_LON.format(k='c_custkey')} AS lon1, "
+    f"{PTS_LAT2.format(k='c_custkey')} AS lat2, {PTS_LON2.format(k='c_custkey')} AS lon2 "
+    "FROM customer"
+)
+_CAND_SQL = (
+    "SELECT c_custkey AS cand_id, "
+    f"{PTS_LAT.format(k='c_custkey')} AS lat, {PTS_LON.format(k='c_custkey')} AS lon "
+    "FROM customer"
+)
+_QRY_SQL = (
+    "SELECT CAST(n_nationkey AS BIGINT) AS query_id, "
+    f"{QRY_LAT.format(k='n_nationkey')} AS q_lat, {QRY_LON.format(k='n_nationkey')} AS q_lon "
+    "FROM nation"
+)
+
+
+def _hav_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """Haversine mirror of functions.expressions.haversine_m (R=6371009)."""
+    p1, l1, p2, l2 = (f"radians({c})" for c in (lat1, lon1, lat2, lon2))
+    h = (
+        f"sin(({p2} - {p1}) / 2e0) * sin(({p2} - {p1}) / 2e0) + "
+        f"cos({p1}) * cos({p2}) * (sin(({l2} - {l1}) / 2e0) * sin(({l2} - {l1}) / 2e0))"
+    )
+    return f"2e0 * 6.371009e6 * asin(sqrt(least(greatest({h}, 0e0), 1e0)))"
+
+
+_ONE_MINUS_F = "9.966471893352525e-1"   # repr-exact 1 - 1/298.257223563
+_HALF_F = "1.6764053323737402e-3"       # f / 2
+_WGS_A = "6.378137e6"
+
+
+def _gc_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """Lambert great-circle mirror of functions.expressions.great_circle_m."""
+    p1, l1, p2, l2 = (f"radians({c})" for c in (lat1, lon1, lat2, lon2))
+    b1 = f"atan({_ONE_MINUS_F} * tan({p1}))"
+    b2 = f"atan({_ONE_MINUS_F} * tan({p2}))"
+    dl = f"({l2} - {l1})"
+    y = (
+        f"sqrt((cos({b2}) * sin({dl})) * (cos({b2}) * sin({dl})) + "
+        f"(cos({b1}) * sin({b2}) - sin({b1}) * cos({b2}) * cos({dl})) * "
+        f"(cos({b1}) * sin({b2}) - sin({b1}) * cos({b2}) * cos({dl})))"
+    )
+    x = f"sin({b1}) * sin({b2}) + cos({b1}) * cos({b2}) * cos({dl})"
+    sg = f"atan2({y}, {x})"
+    sp2 = f"(sin(({b1} + {b2}) / 2e0) * sin(({b1} + {b2}) / 2e0))"
+    sq2 = f"(sin(({b2} - {b1}) / 2e0) * sin(({b2} - {b1}) / 2e0))"
+    ch2 = f"(cos({sg} / 2e0) * cos({sg} / 2e0))"
+    sh2 = f"(sin({sg} / 2e0) * sin({sg} / 2e0))"
+    X = f"CASE WHEN {ch2} > 0e0 THEN ({sg} - sin({sg})) * {sp2} * (1e0 - {sq2}) / {ch2} ELSE 0e0 END"
+    Y = f"CASE WHEN {sh2} > 0e0 THEN ({sg} + sin({sg})) * (1e0 - {sp2}) * {sq2} / {sh2} ELSE 0e0 END"
+    return f"{_WGS_A} * ({sg} - {_HALF_F} * (({X}) + ({Y})))"
+
+
+def _bearing_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    p1, l1, p2, l2 = (f"radians({c})" for c in (lat1, lon1, lat2, lon2))
+    y = f"sin({l2} - {l1}) * cos({p2})"
+    x = f"cos({p1}) * sin({p2}) - sin({p1}) * cos({p2}) * cos({l2} - {l1})"
+    return f"((degrees(atan2({y}, {x})) % 3.6e2) + 3.6e2) % 3.6e2"
+
+
+def _cell_sql(lat: str, lon: str, res: int) -> str:
+    """Mirror of functions.expressions.cell_id_col (integer math)."""
+    n = 1 << res
+    x = (
+        f"least(greatest(CAST(floor((({lon} + 1.8e2) % 3.6e2) / 3.6e2 * {n}) AS BIGINT), 0), {n - 1})"
+    )
+    y = f"least(greatest(CAST(floor(({lat} + 9e1) / 1.8e2 * {n}) AS BIGINT), 0), {n - 1})"
+    return f"({y} * {n} + {x})"
+
+
+# shared text-op fragments (documents table: doc_id, text)
+_WORDS = "list_filter(string_split(lower(text), ' '), w -> w != '')"
+_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(words) - 2, 0)), "
+    "i -> array_to_string(words[i:i+2], ' ')))"
+)
+_N_SEEDS = 12
+_N_BANDS = 4
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "den"],
+    "fr": ["le", "la", "et", "les", "des", "est", "pas", "une", "dans", "que"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "no"],
+    "la": ["lorem", "ipsum", "dolor", "sit", "amet", "et", "ut", "ad", "ex", "ea"],
+}
+
+
+def _minhash_cte() -> str:
+    mins = ", ".join(
+        f"min(md5(concat('{s}:', shingle))) AS mh{s}" for s in range(_N_SEEDS)
+    )
+    return (
+        f"WITH toks AS (SELECT doc_id, {_WORDS} AS words FROM documents), "
+        f"sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM toks), "
+        f"sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)"
+    )
+
+
+def _bands_cte() -> str:
+    rows = _N_SEEDS // _N_BANDS
+    unions = " UNION ALL ".join(
+        "SELECT doc_id, concat_ws('|', '{b}', {cols}) AS band_key FROM sig".format(
+            b=b, cols=", ".join(f"mh{b * rows + r}" for r in range(rows))
+        )
+        for b in range(_N_BANDS)
+    )
+    return f"{_minhash_cte()}, bands AS ({unions})"
+
+
+def _lsh_pairs_sql() -> str:
+    return (
+        f"{_bands_cte()} "
+        "SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2 "
+        "FROM bands a JOIN bands b ON a.band_key = b.band_key "
+        "WHERE a.doc_id < b.doc_id"
+    )
+
+
+def _fixture_docs(spark: SparkSession) -> DataFrame:
+    from geodistpy_spark.sources.fixtures import ensure_default_fixtures
+
+    ensure_default_fixtures()
+    return spark.read.parquet(FIXTURE_DOCS)
+
+
+def _flat_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _r0(col):
+    return F.round(col, 0).cast("double")
+
+
+# ===========================================================================
+# entry — flagship query
+# ===========================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: interleaved docs -> geo-span extraction -> cell index ->
+    radius join around a city center -> exact geodesic distances."""
+    from geodistpy_spark.operators import point_in_radius
+    from geodistpy_spark.sources.documents import extract_geo_spans
 
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _fixture_docs(spark)
+    geo = extract_geo_spans(docs)
+    hits = point_in_radius(geo, (48.8566, 2.3522), 2_000_000.0)
+    cands = _cand_points(spark, sf_dir)
+    from geodistpy_spark.operators import radius_join
+
+    rj = radius_join(_query_points(spark, sf_dir), cands, 1_500_000.0,
+                     c_lat="lat", c_lon="lon")
+    return rj.select("query_id", "cand_id", _r0(F.col("dist")).alias("dist_m")) \
+        .unionByName(
+            hits.select(
+                F.xxhash64("doc_id").alias("query_id"),
+                F.col("span_idx").cast("long").alias("cand_id"),
+                _r0(F.col("dist")).alias("dist_m"),
+            )
+        )
+
+
+# ===========================================================================
+# queries — one per operator
+# ===========================================================================
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from geodistpy_spark.functions.expressions import (
+        bearing_sphere_deg,
+        cell_id_col,
+        great_circle_m,
+        haversine_m,
+        parent_cell_col,
+    )
+    from geodistpy_spark.operators import (
+        bearing as op_bearing,
+        destination as op_destination,
+        geodist,
+        geodist_matrix,
+        geodist_to_many,
+        interpolate as op_interpolate,
+        knn_join,
+        midpoint as op_midpoint,
+        point_in_polygon_join,
+        radius_join,
+        zonal_stats,
+    )
+    from geodistpy_spark.sources.documents import (
+        extract_geo_spans,
+        extract_media_spans,
+        span_fingerprint,
+    )
+    from geodistpy_spark.textops import (
+        cosine_topk,
+        dedup_exact,
+        doc_fingerprint,
+        language_id,
+        lsh_candidate_pairs,
+        near_duplicates_minhash,
+        quality_score,
+        simhash,
+    )
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- geo: closed-form (oracle-checked) -----------------------------
+    def q_haversine_pairs(spark, sf_dir):
+        df = _pair_points(spark, sf_dir)
+        return df.select(
+            "id", _r0(haversine_m("lat1", "lon1", "lat2", "lon2")).alias("hav_m"))
 
+    def q_greatcircle_pairs(spark, sf_dir):
+        df = _pair_points(spark, sf_dir)
+        return df.select(
+            "id", _r0(great_circle_m("lat1", "lon1", "lat2", "lon2")).alias("gc_m"))
+
+    def q_distance_units(spark, sf_dir):
+        from geodistpy_spark.functions.expressions import to_unit
+
+        df = _pair_points(spark, sf_dir)
+        d = great_circle_m("lat1", "lon1", "lat2", "lon2")
+        return df.select(
+            "id",
+            F.round(to_unit(d, "km"), 3).cast("double").alias("gc_km"),
+            F.round(to_unit(d, "mile"), 3).cast("double").alias("gc_mile"),
+            F.round(to_unit(d, "nmi"), 3).cast("double").alias("gc_nmi"),
+        )
+
+    def q_bearing_sphere(spark, sf_dir):
+        df = _pair_points(spark, sf_dir)
+        return df.select(
+            "id",
+            F.round(bearing_sphere_deg("lat1", "lon1", "lat2", "lon2"), 6)
+            .cast("double").alias("brg_deg"),
+        )
+
+    def q_geodist_to_many_gc(spark, sf_dir):
+        cands = _cand_points(spark, sf_dir)
+        out = geodist_to_many(cands, (48.8566, 2.3522), exact=False)
+        return out.select("cand_id", _r0(F.col("dist")).alias("dist_m"))
+
+    def q_cell_index_counts(spark, sf_dir):
+        cands = _cand_points(spark, sf_dir)
+        return (
+            cands.withColumn("cell", cell_id_col("lat", "lon", 7))
+            .groupBy("cell").agg(F.count("*").alias("n"))
+        )
+
+    def q_cell_rollup(spark, sf_dir):
+        cands = _cand_points(spark, sf_dir)
+        return (
+            cands.withColumn("cell", cell_id_col("lat", "lon", 7))
+            .withColumn("parent", parent_cell_col("cell", 7, 4))
+            .groupBy("parent").agg(F.count("*").alias("n"))
+        )
+
+    def q_matrix_gc(spark, sf_dir):
+        q = _query_points(spark, sf_dir).select(
+            F.col("query_id").alias("id"), F.col("q_lat").alias("lat"),
+            F.col("q_lon").alias("lon"))
+        m = geodist_matrix(q, id_col="id", exact=False)
+        return m.select("id_1", "id_2", _r0(F.col("dist")).alias("dist_m"))
+
+    def q_radius_join_gc(spark, sf_dir):
+        rj = radius_join(_query_points(spark, sf_dir), _cand_points(spark, sf_dir),
+                         1_500_000.0, c_lat="lat", c_lon="lon", exact=False)
+        return rj.select("query_id", "cand_id", _r0(F.col("dist")).alias("dist_m"))
+
+    def q_knn_gc(spark, sf_dir):
+        kj = knn_join(_query_points(spark, sf_dir), _cand_points(spark, sf_dir),
+                      5, exact=False, c_lat="lat", c_lon="lon")
+        return kj.select("query_id", "cand_id", _r0(F.col("dist")).alias("dist_m"))
+
+    # --- geo: iterative kernels (rows-only) ----------------------------
+    def q_vincenty_pairs(spark, sf_dir):
+        df = _pair_points(spark, sf_dir)
+        out = geodist(df, "lat1", "lon1", "lat2", "lon2")
+        return out.select("id", _r0(F.col("dist")).alias("vinc_m"))
+
+    def q_bearing_vincenty(spark, sf_dir):
+        df = _pair_points(spark, sf_dir)
+        out = op_bearing(df, "lat1", "lon1", "lat2", "lon2")
+        return out.select("id", F.round("bearing_deg", 6).alias("brg_deg"))
+
+    def q_destination_roundtrip(spark, sf_dir):
+        df = _pair_points(spark, sf_dir).limit(300)
+        out = geodist(df, "lat1", "lon1", "lat2", "lon2", out="d_m")
+        out = op_bearing(out, "lat1", "lon1", "lat2", "lon2")
+        out = op_destination(out, "lat1", "lon1", "bearing_deg", "d_m")
+        err = haversine_m("dest_lat", "dest_lon", "lat2", "lon2")
+        return out.select("id", F.round(err * 1000, 1).alias("err_mm"))
+
+    def q_interpolate(spark, sf_dir):
+        df = _pair_points(spark, sf_dir).limit(200)
+        out = op_interpolate(df, "lat1", "lon1", "lat2", "lon2", n_points=3)
+        return out.select("id", "waypoint_idx",
+                          F.round("wp_lat", 6).alias("wp_lat"),
+                          F.round("wp_lon", 6).alias("wp_lon"))
+
+    def q_midpoint(spark, sf_dir):
+        df = _pair_points(spark, sf_dir).limit(300)
+        out = op_midpoint(df, "lat1", "lon1", "lat2", "lon2")
+        return out.select("id", F.round("mid_lat", 6).alias("mid_lat"),
+                          F.round("mid_lon", 6).alias("mid_lon"))
+
+    def q_knn_exact(spark, sf_dir):
+        kj = knn_join(_query_points(spark, sf_dir),
+                      _cand_points(spark, sf_dir).limit(500), 3,
+                      c_lat="lat", c_lon="lon")
+        return kj.select("query_id", "cand_id", _r0(F.col("dist")).alias("dist_m"))
+
+    def q_point_in_polygon(spark, sf_dir):
+        from geodistpy_spark.sources.fixtures import ensure_default_fixtures
+
+        paths = ensure_default_fixtures()
+        polys = spark.read.parquet(paths["polygons"])
+        pts = _cand_points(spark, sf_dir)
+        hit = point_in_polygon_join(pts, polys, lat_col="lat", lon_col="lon")
+        return hit.select("cand_id", "poly_id")
+
+    def q_zonal_stats(spark, sf_dir):
+        from geodistpy_spark.sources.fixtures import ensure_default_fixtures
+
+        paths = ensure_default_fixtures()
+        polys = spark.read.parquet(paths["polygons"])
+        rast = spark.read.parquet(paths["raster"])
+        zs = zonal_stats(rast, polys)
+        return zs.select("poly_id", "n_tiles", F.round("sum_value", 6).alias("sum_v"))
+
+    # --- interleaved spans (oracle via read_parquet on the fixture) ----
+    def q_span_geo_extract(spark, sf_dir):
+        docs = _fixture_docs(spark)
+        geo = extract_geo_spans(docs)
+        return geo.select("doc_id", F.col("span_idx").cast("long").alias("span_idx"),
+                          "lat", "lon")
+
+    def q_span_fingerprint(spark, sf_dir):
+        docs = _fixture_docs(spark)
+        return span_fingerprint(docs).select(
+            "doc_id", F.col("n_spans").cast("long").alias("n_spans"), "span_fp")
+
+    def q_media_span_meta(spark, sf_dir):
+        docs = _fixture_docs(spark)
+        m = extract_media_spans(docs)
+        return m.select("doc_id", F.col("span_idx").cast("long").alias("span_idx"),
+                        "media_key")
+
+    def q_doc_cell_histogram(spark, sf_dir):
+        docs = _fixture_docs(spark)
+        geo = extract_geo_spans(docs, res=6)
+        return geo.groupBy(F.col("cell_r6").alias("cell")).agg(F.count("*").alias("n"))
+
+    # --- training-data ops over driver documents (oracle-checked) ------
+    def q_dedup_exact(spark, sf_dir):
+        docs = _flat_docs(spark, sf_dir)
+        kept = dedup_exact(docs).select(F.col("doc_id"), F.lit(True).alias("keep"))
+        return (
+            docs.select("doc_id", F.md5("text").alias("text_hash"))
+            .join(kept, on="doc_id", how="left")
+            .na.fill({"keep": False})
+        )
+
+    def q_minhash_signatures(spark, sf_dir):
+        from geodistpy_spark.textops import minhash_signatures
+
+        return minhash_signatures(_flat_docs(spark, sf_dir))
+
+    def q_lsh_pairs(spark, sf_dir):
+        return lsh_candidate_pairs(_flat_docs(spark, sf_dir))
+
+    def q_jaccard_pairs(spark, sf_dir):
+        nd = near_duplicates_minhash(_flat_docs(spark, sf_dir), threshold=0.0)
+        return nd.select("id_1", "id_2", "n_inter", "n_1", "n_2",
+                         F.round("jaccard", 6).alias("jacc"))
+
+    def q_simhash(spark, sf_dir):
+        return simhash(_flat_docs(spark, sf_dir))
+
+    def q_token_quality(spark, sf_dir):
+        qs = quality_score(_flat_docs(spark, sf_dir))
+        return qs.select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_chars").cast("long").alias("nch"),
+            F.round("alpha_ratio", 6).alias("alpha_r"),
+            F.round("stopword_ratio", 6).alias("stop_r"),
+            F.round("quality", 6).alias("q"),
+        )
+
+    def q_language_id(spark, sf_dir):
+        out = language_id(_flat_docs(spark, sf_dir))
+        return out.select("doc_id", "lang_pred")
+
+    def q_doc_fingerprint(spark, sf_dir):
+        out = doc_fingerprint(_flat_docs(spark, sf_dir))
+        return out.select("doc_id", "fingerprint")
+
+    def q_embedding_topk(spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
+        out = cosine_topk(emb, q, 5)
+        return out.select("query_id", "vec_id",
+                          F.round("cosine", 6).alias("cos_r"),
+                          F.col("rank").cast("long").alias("rank"))
+
+    def q_sessionize(spark, sf_dir):
+        from pyspark.sql import Window
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        out = (
+            ev.withColumn("prev_ts", F.lag("ts").over(w))
+            .withColumn(
+                "new_sess",
+                F.when(F.col("prev_ts").isNull(), 1)
+                .when(F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800, 1)
+                .otherwise(0),
+            )
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_events"), F.sum("new_sess").alias("n_sessions"))
+        )
+        return out.select("user_id", "n_events", F.col("n_sessions").cast("long").alias("n_sessions"))
+
+    # --- multimodal + ANN scale path (rows-only) -----------------------
+    def q_media_features(spark, sf_dir):
+        from geodistpy_spark.textops import media_feature_pipeline
+
+        docs = _fixture_docs(spark)
+        mf = media_feature_pipeline(docs)
+        return mf.select("doc_id", F.col("span_idx").cast("long").alias("span_idx"),
+                         "width", "height", "n_bytes")
+
+    def q_ivf_topk(spark, sf_dir):
+        from geodistpy_spark.textops import ivf_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
+        out = ivf_topk(emb, q, 5)
+        return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cos_r"))
+
+    return {
+        "haversine_pairs": q_haversine_pairs,
+        "greatcircle_pairs": q_greatcircle_pairs,
+        "distance_units": q_distance_units,
+        "bearing_sphere": q_bearing_sphere,
+        "geodist_to_many_gc": q_geodist_to_many_gc,
+        "cell_index_counts": q_cell_index_counts,
+        "cell_rollup": q_cell_rollup,
+        "matrix_gc": q_matrix_gc,
+        "radius_join_gc": q_radius_join_gc,
+        "knn_gc": q_knn_gc,
+        "vincenty_pairs": q_vincenty_pairs,
+        "bearing_vincenty": q_bearing_vincenty,
+        "destination_roundtrip": q_destination_roundtrip,
+        "interpolate": q_interpolate,
+        "midpoint": q_midpoint,
+        "knn_exact": q_knn_exact,
+        "point_in_polygon": q_point_in_polygon,
+        "zonal_stats": q_zonal_stats,
+        "span_geo_extract": q_span_geo_extract,
+        "span_fingerprint": q_span_fingerprint,
+        "media_span_meta": q_media_span_meta,
+        "doc_cell_histogram": q_doc_cell_histogram,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_pairs": q_lsh_pairs,
+        "jaccard_pairs": q_jaccard_pairs,
+        "simhash": q_simhash,
+        "token_quality": q_token_quality,
+        "language_id": q_language_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "embedding_topk": q_embedding_topk,
+        "sessionize": q_sessionize,
+        "media_features": q_media_features,
+        "ivf_topk": q_ivf_topk,
+    }
+
+
+# ===========================================================================
+# oracle_sql — DuckDB mirrors
+# ===========================================================================
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    hav = _hav_sql("lat1", "lon1", "lat2", "lon2")
+    gc = _gc_sql("lat1", "lon1", "lat2", "lon2")
+    brg = _bearing_sql("lat1", "lon1", "lat2", "lon2")
+    gc_q = _gc_sql("q_lat", "q_lon", "lat", "lon")
+    gc_o = _gc_sql("4.88566e1", "2.3522e0", "lat", "lon")
+    gc_m = _gc_sql("a.lat", "a.lon", "b.lat", "b.lon")
+    cell7 = _cell_sql("lat", "lon", 7)
+
+    fx = f"read_parquet('{FIXTURE_DOCS}')"
+    span_cte = (
+        f"WITH s AS (SELECT doc_id, unnest(spans) AS span, "
+        f"CAST(generate_subscripts(spans, 1) - 1 AS BIGINT) AS span_idx FROM {fx})"
+    )
+
+    stop_all = sorted({w for ws in _STOPWORDS.values() for w in ws})
+    stop_list = ", ".join(f"'{w}'" for w in stop_all)
+    langs = sorted(_STOPWORDS)
+
+    def hits(lang):
+        ws = ", ".join(f"'{w}'" for w in _STOPWORDS[lang])
+        return f"len(list_filter(words, w -> list_contains([{ws}], w)))"
+
+    lang_case = "CASE WHEN best = 0 THEN 'unknown' " + " ".join(
+        f"WHEN h_{lang} = best THEN '{lang}'" for lang in langs
+    ) + " END"
+
+    th_expr = " + ".join(
+        f"(instr('0123456789abcdef', substr(md5(tok), {j + 1}, 1)) - 1) * {16 ** (3 - j)}"
+        for j in range(4)
+    )
+    sim_sums = ", ".join(
+        f"sum(CASE WHEN ((th >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(16)
+    )
+    sim_val = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(16)
+    )
+
+    jacc_base = (
+        f"WITH toks AS (SELECT doc_id, {_WORDS} AS words FROM documents), "
+        f"sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM toks), "
+        "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), "
+        f"pairs AS ({_lsh_pairs_sql().replace('WITH', 'WITH', 1)})"
+    )
+    # _lsh_pairs_sql already starts with WITH ...; inline its CTEs instead
+    rows = _N_SEEDS // _N_BANDS
+    mins = ", ".join(f"min(md5(concat('{s}:', shingle))) AS mh{s}" for s in range(_N_SEEDS))
+    band_unions = " UNION ALL ".join(
+        "SELECT doc_id, concat_ws('|', '{b}', {cols}) AS band_key FROM sig".format(
+            b=b, cols=", ".join(f"mh{b * rows + r}" for r in range(rows)))
+        for b in range(_N_BANDS)
+    )
+    jacc_base = (
+        f"WITH toks AS (SELECT doc_id, {_WORDS} AS words FROM documents), "
+        f"sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM toks), "
+        f"sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id), "
+        f"bands AS ({band_unions}), "
+        "pairs AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2 "
+        "FROM bands a JOIN bands b ON a.band_key = b.band_key WHERE a.doc_id < b.doc_id), "
+        "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT p.id_1, p.id_2, count(*) AS n_inter FROM pairs p "
+        "JOIN sh s1 ON s1.doc_id = p.id_1 JOIN sh s2 ON s2.doc_id = p.id_2 "
+        "AND s1.shingle = s2.shingle GROUP BY p.id_1, p.id_2)"
+    )
+
+    return {
+        "haversine_pairs": f"SELECT id, round({hav}, 0) AS hav_m FROM ({_PAIR_SQL})",
+        "greatcircle_pairs": f"SELECT id, round({gc}, 0) AS gc_m FROM ({_PAIR_SQL})",
+        "distance_units": (
+            f"SELECT id, round(({gc}) * 1e-3, 3) AS gc_km, "
+            f"round(({gc}) * 6.213711922373339e-4, 3) AS gc_mile, "
+            f"round(({gc}) * 5.399568034557235e-4, 3) AS gc_nmi FROM ({_PAIR_SQL})"
+        ),
+        "bearing_sphere": f"SELECT id, round({brg}, 6) AS brg_deg FROM ({_PAIR_SQL})",
+        "geodist_to_many_gc": (
+            f"SELECT cand_id, round({gc_o}, 0) AS dist_m FROM ({_CAND_SQL})"
+        ),
+        "cell_index_counts": (
+            f"SELECT {cell7} AS cell, count(*) AS n FROM ({_CAND_SQL}) GROUP BY 1"
+        ),
+        "cell_rollup": (
+            f"WITH cells AS (SELECT {cell7} AS cell FROM ({_CAND_SQL})) "
+            "SELECT ((cell // 128) // 8) * 16 + ((cell % 128) // 8) AS parent, "
+            "count(*) AS n FROM cells GROUP BY 1"
+        ),
+        "matrix_gc": (
+            f"SELECT a.query_id AS id_1, b.query_id AS id_2, round({gc_m}, 0) AS dist_m "
+            f"FROM (SELECT query_id, q_lat AS lat, q_lon AS lon FROM ({_QRY_SQL})) a, "
+            f"(SELECT query_id, q_lat AS lat, q_lon AS lon FROM ({_QRY_SQL})) b "
+            "WHERE a.query_id != b.query_id"
+        ),
+        "radius_join_gc": (
+            f"SELECT q.query_id, c.cand_id, round({gc_q}, 0) AS dist_m "
+            f"FROM ({_QRY_SQL}) q, ({_CAND_SQL}) c WHERE {gc_q} <= 1.5e6"
+        ),
+        "knn_gc": (
+            f"WITH d AS (SELECT q.query_id, c.cand_id, {gc_q} AS dm "
+            f"FROM ({_QRY_SQL}) q, ({_CAND_SQL}) c), "
+            "r AS (SELECT query_id, cand_id, dm, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY dm, cand_id) AS rn FROM d) "
+            "SELECT query_id, cand_id, round(dm, 0) AS dist_m FROM r WHERE rn <= 5"
+        ),
+        "span_geo_extract": (
+            f"{span_cte} SELECT doc_id, span_idx, "
+            "TRY_CAST(split_part(span.text, ',', 1) AS DOUBLE) AS lat, "
+            "TRY_CAST(split_part(span.text, ',', 2) AS DOUBLE) AS lon "
+            "FROM s WHERE span.kind = 'geo' "
+            "AND TRY_CAST(split_part(span.text, ',', 1) AS DOUBLE) IS NOT NULL "
+            "AND TRY_CAST(split_part(span.text, ',', 2) AS DOUBLE) IS NOT NULL "
+            "AND TRY_CAST(split_part(span.text, ',', 1) AS DOUBLE) BETWEEN -9e1 AND 9e1 "
+            "AND TRY_CAST(split_part(span.text, ',', 2) AS DOUBLE) BETWEEN -1.8e2 AND 1.8e2"
+        ),
+        "span_fingerprint": (
+            f"SELECT doc_id, CAST(len(spans) AS BIGINT) AS n_spans, "
+            "md5(array_to_string(list_transform(spans, x -> concat_ws('|,|', "
+            "coalesce(x.kind, '|0|'), coalesce(x.text, '|0|'), "
+            f"coalesce(x.media_ref, '|0|'))), '|#|')) AS span_fp FROM {fx}"
+        ),
+        "media_span_meta": (
+            f"{span_cte} SELECT doc_id, span_idx, "
+            "split_part(span.media_ref, '://', 2) AS media_key "
+            "FROM s WHERE span.kind = 'media'"
+        ),
+        "doc_cell_histogram": (
+            f"{span_cte} SELECT {_cell_sql('lat', 'lon', 6)} AS cell, count(*) AS n FROM ("
+            "SELECT TRY_CAST(split_part(span.text, ',', 1) AS DOUBLE) AS lat, "
+            "TRY_CAST(split_part(span.text, ',', 2) AS DOUBLE) AS lon "
+            "FROM s WHERE span.kind = 'geo') GROUP BY 1"
+        ),
+        "dedup_exact": (
+            "SELECT doc_id, md5(text) AS text_hash, "
+            "(row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1) AS keep "
+            "FROM documents"
+        ),
+        "minhash_signatures": (
+            f"{_minhash_cte()} SELECT * FROM sig"
+        ),
+        "lsh_pairs": _lsh_pairs_sql(),
+        "jaccard_pairs": (
+            f"{jacc_base} "
+            "SELECT p.id_1, p.id_2, coalesce(i.n_inter, 0) AS n_inter, "
+            "z1.n_sh AS n_1, z2.n_sh AS n_2, "
+            "round(coalesce(i.n_inter, 0) / (z1.n_sh + z2.n_sh - coalesce(i.n_inter, 0)), 6) AS jacc "
+            "FROM pairs p LEFT JOIN inter i ON p.id_1 = i.id_1 AND p.id_2 = i.id_2 "
+            "JOIN sizes z1 ON z1.doc_id = p.id_1 JOIN sizes z2 ON z2.doc_id = p.id_2"
+        ),
+        "simhash": (
+            f"WITH t AS (SELECT doc_id, unnest({_WORDS}) AS tok FROM documents), "
+            f"h AS (SELECT doc_id, CAST({th_expr} AS BIGINT) AS th FROM t), "
+            f"b AS (SELECT doc_id, {sim_sums} FROM h GROUP BY doc_id) "
+            f"SELECT doc_id, CAST({sim_val} AS BIGINT) AS simhash FROM b"
+        ),
+        "token_quality": (
+            f"WITH toks AS (SELECT doc_id, text, {_WORDS} AS words FROM documents) "
+            "SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens, "
+            "CAST(length(text) AS BIGINT) AS nch, "
+            "round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / greatest(length(text), 1), 6) AS alpha_r, "
+            f"round(len(list_filter(words, w -> list_contains([{stop_list}], w))) / greatest(len(words), 1), 6) AS stop_r, "
+            "round(least(len(words) / 2e1, 1e0) * 4e-1 + "
+            "(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / greatest(length(text), 1)) * 4e-1 + "
+            f"least((len(list_filter(words, w -> list_contains([{stop_list}], w))) / greatest(len(words), 1)) * 4e0, 1e0) * 2e-1, 6) AS q "
+            "FROM toks"
+        ),
+        "language_id": (
+            f"WITH toks AS (SELECT doc_id, {_WORDS} AS words FROM documents), "
+            "h AS (SELECT doc_id, "
+            + ", ".join(f"{hits(lang)} AS h_{lang}" for lang in langs)
+            + " FROM toks), "
+            "b AS (SELECT doc_id, " + ", ".join(f"h_{lang}" for lang in langs)
+            + f", greatest({', '.join('h_' + lang for lang in langs)}) AS best FROM h) "
+            f"SELECT doc_id, {lang_case} AS lang_pred FROM b"
+        ),
+        "doc_fingerprint": (
+            f"WITH toks AS (SELECT doc_id, {_WORDS} AS words FROM documents) "
+            "SELECT doc_id, md5(array_to_string(list_sort(list_distinct(words)), ' ')) "
+            "AS fingerprint FROM toks"
+        ),
+        "embedding_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
+            "FROM embeddings WHERE vec_id < 5), "
+            "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            "s AS (SELECT query_id, vec_id, list_dot_product(v, qv) / "
+            "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS cosine "
+            "FROM c, q), "
+            "r AS (SELECT query_id, vec_id, cosine, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank FROM s) "
+            "SELECT query_id, vec_id, round(cosine, 6) AS cos_r, "
+            "CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5"
+        ),
+        "sessionize": (
+            "WITH o AS (SELECT user_id, ts, "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts "
+            "FROM events), "
+            "m AS (SELECT user_id, CASE WHEN prev_ts IS NULL THEN 1 "
+            "WHEN CAST(epoch(ts) AS BIGINT) - CAST(epoch(prev_ts) AS BIGINT) > 1800 "
+            "THEN 1 ELSE 0 END AS new_sess FROM o) "
+            "SELECT user_id, count(*) AS n_events, "
+            "CAST(sum(new_sess) AS BIGINT) AS n_sessions FROM m GROUP BY user_id"
+        ),
+    }

@@ -66,7 +66,7 @@ def geodesic_knn(df: DataFrame, point: tuple[float, float], k: int,
 
 
 def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
-             metric: str = "meter", ellipsoid="WGS-84",
+             metric: str = "meter", ellipsoid="WGS-84", exact: bool = True,
              q_id: str = "query_id", q_lat: str = "q_lat", q_lon: str = "q_lon",
              c_lat: str = "lat", c_lon: str = "lon",
              r0_m: float = 25_000.0, max_rounds: int = 6,
@@ -97,7 +97,7 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
         joined = radius_join(
             unresolved, candidates, radius, metric="meter", ellipsoid=ellipsoid,
             q_id=q_id, q_lat=q_lat, q_lon=q_lon, c_lat=c_lat, c_lon=c_lon,
-            salt=salt, out=out,
+            salt=salt, exact=exact, out=out,
         )
         topk = (
             joined.withColumn("__rn", F.row_number().over(w))

@@ -118,19 +118,22 @@ def span_fingerprint(docs: DataFrame) -> DataFrame:
     fingerprints iff their span sequences are equal; this is the
     engine's span-sequence-equality verifier primitive.
     """
+    # printable separators so the identical expression is writable in
+    # ANSI SQL (DuckDB oracle): span sep '|#|', field sep '|,|',
+    # null sentinel '|0|'
     return docs.select(
         "doc_id",
         F.size("spans").alias("n_spans"),
         F.md5(
             F.concat_ws(
-                "\x1e",
+                "|#|",
                 F.transform(
                     "spans",
                     lambda s: F.concat_ws(
-                        "\x1f",
-                        F.coalesce(s["kind"], F.lit("\x00")),
-                        F.coalesce(s["text"], F.lit("\x00")),
-                        F.coalesce(s["media_ref"], F.lit("\x00")),
+                        "|,|",
+                        F.coalesce(s["kind"], F.lit("|0|")),
+                        F.coalesce(s["text"], F.lit("|0|")),
+                        F.coalesce(s["media_ref"], F.lit("|0|")),
                     ),
                 ),
             )

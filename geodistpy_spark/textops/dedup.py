@@ -174,12 +174,17 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     """SimHash over unigram tokens: bit b set iff the sum over tokens of
     ±1 (per the b-th bit of md5(token)) is positive.
 
-    Token hash = first 4 hex chars of md5 -> 16-bit int (``conv`` in
-    Spark / ``from_hex`` arithmetic in DuckDB — both exact).
+    Token hash = first 4 hex chars of md5 -> 16-bit int, decoded with
+    instr-based arithmetic (portable: the identical expression runs in
+    Spark SQL and DuckDB — no engine-specific conv/from_hex).
     """
     toks = tokenize(df.select(id_col, text_col), text_col)
     t = toks.select(id_col, F.explode("words").alias("tok"))
-    t = t.withColumn("th", F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long"))
+    hexpr = " + ".join(
+        f"(instr('0123456789abcdef', substr(md5(tok), {j + 1}, 1)) - 1) * {16 ** (3 - j)}"
+        for j in range(4)
+    )
+    t = t.withColumn("th", F.expr(f"cast({hexpr} as bigint)"))
     agg = t.groupBy(id_col).agg(
         *[
             F.sum(
