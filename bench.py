@@ -1,0 +1,174 @@
+"""Benchmark harness: headline engine queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "docs_per_sec": ...}
+
+The spatial-pipeline queries run over a bench-scale interleaved
+documents table generated deterministically on first use (cached in
+.bench_work/); text/embedding queries run over the driver tables in the
+sf dir. Timings are action-to-action wall clock (count/collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+BENCH_DIR = os.path.join(_REPO, ".bench_work")
+
+# docs-per-sf: FIXTURES.md sizing (sf0.1 ~ 100k interleaved docs)
+_SF_DOCS = {"sf0.001": 1_000, "sf0.01": 10_000, "sf0.1": 100_000}
+
+
+def _sf_label() -> str:
+    return os.path.basename(SF_DIR.rstrip("/"))
+
+
+def _sf_value() -> float:
+    try:
+        return float(_sf_label().replace("sf", ""))
+    except ValueError:
+        return 0.0
+
+
+def ensure_bench_docs(n_docs: int) -> str:
+    """Bench-scale interleaved documents parquet (deterministic, cached)."""
+    import pyarrow.parquet as pq
+
+    from geodistpy_spark.sources.fixtures import generate_documents
+
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    path = os.path.join(BENCH_DIR, f"docs_{n_docs}.parquet")
+    if not os.path.exists(path):
+        pq.write_table(generate_documents(n_docs), path)
+    return path
+
+
+def ensure_bench_queries(n: int = 200) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geodistpy_spark.sources.fixtures import generate_places
+
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    path = os.path.join(BENCH_DIR, f"queries_{n}.parquet")
+    if not os.path.exists(path):
+        t = generate_places(n, seed=777)
+        t = t.rename_columns(["query_id", "name", "q_lat", "q_lon"])
+        pq.write_table(pa.table({"query_id": t["query_id"], "q_lat": t["q_lat"],
+                                 "q_lon": t["q_lon"]}), path)
+    return path
+
+
+def run_bench(spark, sf_dir: str) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
+    from geodistpy_spark.operators import knn_join, radius_join, zonal_stats
+    from geodistpy_spark.sources.documents import extract_geo_spans
+    from geodistpy_spark.sources.fixtures import ensure_default_fixtures
+    from geodistpy_spark.textops import cosine_topk, near_duplicates_minhash
+
+    n_docs = _SF_DOCS.get(_sf_label(), 10_000)
+    docs_path = ensure_bench_docs(n_docs)
+    queries_path = ensure_bench_queries(200)
+    fixture_paths = ensure_default_fixtures()
+
+    docs = spark.read.parquet(docs_path)
+    queries = spark.read.parquet(queries_path)
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # q1: span extraction + cell index over the full docs table
+    geo = extract_geo_spans(docs, res=12)
+    timed("q1_extract_index", lambda: geo.count())
+    geo = geo.cache()
+    n_geo = geo.count()
+
+    # q2: many-center exact radius join (cover equi-join + Vincenty refine)
+    timed("q2_radius_join", lambda: radius_join(
+        queries, geo, 100_000.0, c_lat="lat", c_lon="lon").count())
+
+    # q3: exact kNN join (expanding cover rounds + window top-k)
+    timed("q3_knn_join", lambda: knn_join(
+        queries, geo, 10, c_lat="lat", c_lon="lon").count())
+
+    # q4: point-in-polygon + zonal aggregate over doc points
+    polys = spark.read.parquet(fixture_paths["polygons"])
+    timed("q4_pip_zonal", lambda: zonal_stats(
+        geo.withColumn("value", F.lit(1.0)), polys).count())
+
+    # q5: Vincenty kernel throughput — 2M pairs through the Arrow UDF
+    from geodistpy_spark.operators import geodist
+
+    a = geo.limit(2000).select(F.col("lat").alias("lat1"), F.col("lon").alias("lon1"))
+    b = geo.limit(1000).select(F.col("lat").alias("lat2"), F.col("lon").alias("lon2"))
+    pairs = a.crossJoin(b).repartition(int(CPUS))
+    timed("q5_vincenty_2m", lambda: geodist(
+        pairs, "lat1", "lon1", "lat2", "lon2").agg(F.sum("dist")).collect())
+
+    # q6: MinHash near-dup pipeline over the driver documents table
+    flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    timed("q6_minhash_dedup", lambda: near_duplicates_minhash(
+        flat, threshold=0.5).count())
+
+    # q7: embedding cosine top-k
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
+    timed("q7_embed_topk", lambda: cosine_topk(emb, qv, 10).count())
+
+    # q8: span-sequence roundtrip verification over the full docs table
+    from geodistpy_spark.sources.documents import (
+        explode_spans, reassemble_spans, verify_span_sequence)
+
+    timed("q8_span_roundtrip", lambda: verify_span_sequence(
+        docs, reassemble_spans(explode_spans(docs))))
+
+    geo.unpersist()
+    timings["_n_docs"] = n_docs
+    timings["_n_geo"] = n_geo
+    return timings
+
+
+def main():
+    from geodistpy_spark import get_spark
+
+    spark = get_spark(app_name="geodistpy_spark_bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=int(CPUS))
+    t0 = time.perf_counter()
+    timings = run_bench(spark, SF_DIR)
+    total = round(time.perf_counter() - t0, 3)
+    n_docs = timings.pop("_n_docs")
+    n_geo = timings.pop("_n_geo")
+    # docs/sec over the spatial pipeline segment (extract+index+joins+zonal)
+    pipeline_sec = sum(timings[q] for q in
+                       ("q1_extract_index", "q2_radius_join", "q3_knn_join", "q4_pip_zonal"))
+    out = {
+        "metric": "spatial-join + kNN + dedup headline suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_value(),
+        "docs_per_sec": round(n_docs / pipeline_sec, 1),
+        "n_docs": n_docs,
+        "n_geo_points": n_geo,
+        "cpus": int(CPUS),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -30,7 +30,7 @@ def geodesic_knn(df: DataFrame, point: tuple[float, float], k: int,
                  metric: str = "meter", ellipsoid="WGS-84",
                  lat_col: str = "lat", lon_col: str = "lon",
                  id_col: str | None = None,
-                 r0_m: float = 25_000.0, max_rounds: int = 12,
+                 r0_m: float | None = None, max_rounds: int = 12,
                  out: str = "dist") -> DataFrame:
     """k nearest rows to ``point`` by exact geodesic distance, sorted
     ascending (k validated >= 1; reference distance.py:506-507).
@@ -44,6 +44,12 @@ def geodesic_knn(df: DataFrame, point: tuple[float, float], k: int,
         raise ValueError(f"k must be >= 1, got {k}")
     order = [F.col(out).asc()] + ([F.col(id_col).asc()] if id_col else [])
 
+    if r0_m is None:
+        import math
+
+        n_cand = df.count()
+        r0_m = 2.0 * math.sqrt(k * EARTH_AREA_M2 / (math.pi * max(n_cand, 1)))
+        r0_m = min(max(r0_m, 1_000.0), 2.1e7)
     R = float(r0_m)
     for _ in range(max_rounds):
         cand = point_in_radius(df, point, R, metric="meter", ellipsoid=ellipsoid,
@@ -65,11 +71,14 @@ def geodesic_knn(df: DataFrame, point: tuple[float, float], k: int,
     )
 
 
+EARTH_AREA_M2 = 5.10072e14
+
+
 def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
              metric: str = "meter", ellipsoid="WGS-84", exact: bool = True,
              q_id: str = "query_id", q_lat: str = "q_lat", q_lon: str = "q_lon",
              c_lat: str = "lat", c_lon: str = "lon",
-             r0_m: float = 25_000.0, max_rounds: int = 6,
+             r0_m: float | None = None, max_rounds: int = 6,
              salt: int | None = None, out: str = "dist") -> DataFrame:
     """Many-to-many kNN join: for every query row, its k nearest
     candidates by exact geodesic distance.
@@ -86,23 +95,33 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
 
+    if r0_m is None:
+        # expected k-th-NN radius under a uniform global density, with 2x
+        # slack: most queries close in round 1, dense clusters even earlier
+        n_cand = candidates.count()
+        import math
+
+        r0_m = 2.0 * math.sqrt(k * EARTH_AREA_M2 / (math.pi * max(n_cand, 1)))
+        r0_m = min(max(r0_m, 1_000.0), 2.1e7)
+
     w = Window.partitionBy(q_id).orderBy(F.col(out).asc(), F.col(c_lat).asc(), F.col(c_lon).asc())
     unresolved = queries.select(q_id, q_lat, q_lon)
     resolved_parts: list[DataFrame] = []
     R = float(r0_m)
 
     for rnd in range(max_rounds):
-        last = rnd == max_rounds - 1 or R * 4 > 2.1e7
+        last = rnd == max_rounds - 1 or R >= 2.1e7
         radius = 2.1e7 if last else R
         joined = radius_join(
             unresolved, candidates, radius, metric="meter", ellipsoid=ellipsoid,
             q_id=q_id, q_lat=q_lat, q_lon=q_lon, c_lat=c_lat, c_lon=c_lon,
             salt=salt, exact=exact, out=out,
         )
+        # cache: topk feeds both the closure test and the result union
         topk = (
             joined.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= k)
-        )
+        ).cache()
         if last:
             resolved_parts.append(topk.drop("__rn"))
             break
@@ -116,8 +135,9 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
         resolved_parts.append(
             topk.join(closed_ids, on=q_id, how="left_semi").drop("__rn")
         )
-        unresolved = unresolved.join(closed_ids, on=q_id, how="left_anti")
-        # cheap emptiness probe (cell-count only, AQE-coalesced)
+        # localCheckpoint truncates lineage so later rounds don't recompute
+        # every earlier round's join
+        unresolved = unresolved.join(closed_ids, on=q_id, how="left_anti").localCheckpoint()
         if unresolved.isEmpty():
             break
         R *= 4.0
