@@ -76,7 +76,7 @@ def run_bench(spark, sf_dir: str) -> dict[str, float]:
     from geodistpy_spark.sources.fixtures import ensure_default_fixtures
     from geodistpy_spark.textops import cosine_topk, near_duplicates_minhash
 
-    n_docs = _SF_DOCS.get(_sf_label(), 10_000)
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", 0)) or _SF_DOCS.get(_sf_label(), 10_000)
     docs_path = ensure_bench_docs(n_docs)
     queries_path = ensure_bench_queries(200)
     fixture_paths = ensure_default_fixtures()
@@ -109,13 +109,17 @@ def run_bench(spark, sf_dir: str) -> dict[str, float]:
     timed("q4_pip_zonal", lambda: zonal_stats(
         geo.withColumn("value", F.lit(1.0)), polys).count())
 
-    # q5: Vincenty kernel throughput — 2M pairs through the Arrow UDF
+    # q5: Vincenty kernel throughput — n_pairs through the Arrow UDF
+    # (repartition the LEFT side before the crossJoin so pair generation,
+    # UDF compute, and aggregation all parallelize without a post-shuffle)
     from geodistpy_spark.operators import geodist
 
-    a = geo.limit(2000).select(F.col("lat").alias("lat1"), F.col("lon").alias("lon1"))
+    n_pairs = int(os.environ.get("SPARK_GRAFT_BENCH_PAIRS", 2_000_000))
+    n_left = max(n_pairs // 1000, 1)
+    a = geo.limit(n_left).select(F.col("lat").alias("lat1"), F.col("lon").alias("lon1"))
     b = geo.limit(1000).select(F.col("lat").alias("lat2"), F.col("lon").alias("lon2"))
-    pairs = a.crossJoin(b).repartition(int(CPUS))
-    timed("q5_vincenty_2m", lambda: geodist(
+    pairs = a.repartition(int(CPUS)).crossJoin(b)
+    timed("q5_vincenty_pairs", lambda: geodist(
         pairs, "lat1", "lon1", "lat2", "lon2").agg(F.sum("dist")).collect())
 
     # q6: MinHash near-dup pipeline over the driver documents table
@@ -162,6 +166,7 @@ def main():
         "queries": timings,
         "sf": _sf_value(),
         "docs_per_sec": round(n_docs / pipeline_sec, 1),
+        "pipeline_sec": round(pipeline_sec, 3),
         "n_docs": n_docs,
         "n_geo_points": n_geo,
         "cpus": int(CPUS),
