@@ -1,0 +1,161 @@
+"""Training-data op tests: planted duplicates, numpy ANN oracle, stubs."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geodistpy_spark.textops import (
+    cosine_topk,
+    dedup_exact,
+    doc_fingerprint,
+    exact_duplicates,
+    ivf_topk,
+    language_id,
+    lsh_candidate_pairs,
+    near_duplicates_minhash,
+    quality_score,
+    simhash,
+    simhash_near_pairs,
+    token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Docs with planted exact + near duplicates."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    far = "completely different content about spark distributed query engines"
+    rows = [
+        (1, base), (2, base),          # exact dups
+        (3, near),                     # near-dup of 1/2
+        (4, far), (5, far + " extra"),
+        (6, "unrelated tiny text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestDedup:
+    def test_exact_duplicates_found(self, planted):
+        groups = exact_duplicates(planted).toPandas()
+        assert len(groups) == 1
+        assert groups.iloc[0].n_dups == 2
+        assert groups.iloc[0].keep_id == 1
+
+    def test_dedup_exact_keeps_smallest_id(self, planted):
+        kept = dedup_exact(planted).toPandas()
+        assert len(kept) == 5
+        assert 1 in set(kept.doc_id) and 2 not in set(kept.doc_id)
+
+    def test_minhash_finds_planted_near_dup(self, planted):
+        nd = near_duplicates_minhash(planted, threshold=0.5).toPandas()
+        pairs = set(zip(nd.id_1, nd.id_2))
+        assert (1, 2) in pairs       # exact dup -> jaccard 1.0
+        assert (1, 3) in pairs or (2, 3) in pairs  # near-dup shares most shingles
+        jacc12 = nd[(nd.id_1 == 1) & (nd.id_2 == 2)].jaccard.iloc[0]
+        assert jacc12 == 1.0
+
+    def test_lsh_no_false_pairs_for_disjoint(self, planted):
+        pairs = lsh_candidate_pairs(planted).toPandas()
+        got = set(zip(pairs.id_1, pairs.id_2))
+        assert (1, 6) not in got and (2, 6) not in got
+
+    def test_simhash_identical_for_exact_dups(self, planted):
+        sh = simhash(planted).toPandas().set_index("doc_id").simhash
+        assert sh[1] == sh[2]
+        near = simhash_near_pairs(planted, max_hamming=3).toPandas()
+        assert (1, 2) in set(zip(near.id_1, near.id_2))
+        assert (near.hamming >= 0).all()
+
+
+class TestAnn:
+    def test_cosine_topk_matches_numpy(self, spark, fixture_paths):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        pdf = emb.toPandas()
+        V = np.stack(pdf.embedding.values).astype(np.float64)
+        ids = pdf.vec_id.values
+        q = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
+        got = cosine_topk(emb, q, 5).toPandas()
+        norms = np.linalg.norm(V, axis=1)
+        for qi in range(3):
+            qv = V[ids == qi][0]
+            cos = V @ qv / (norms * np.linalg.norm(qv))
+            order = np.lexsort((ids, -np.round(cos, 12)))[:5]
+            exp_ids = list(ids[order])
+            got_ids = list(got[got.query_id == qi].sort_values("rank").vec_id)
+            assert got_ids == exp_ids, (qi, got_ids, exp_ids)
+
+    def test_ivf_recall_vs_brute(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
+        exact = cosine_topk(emb, q, 5).toPandas()
+        approx = ivf_topk(emb, q, 5, n_cells=8, n_probe=4).toPandas()
+        # rank-1 self-hit must always be found; overall recall reasonable
+        for qi in range(10):
+            a = set(approx[approx.query_id == qi].vec_id)
+            e = set(exact[exact.query_id == qi].vec_id)
+            assert qi in a
+        recall = len(set(map(tuple, approx[["query_id", "vec_id"]].values))
+                     & set(map(tuple, exact[["query_id", "vec_id"]].values))) / len(exact)
+        assert recall >= 0.5
+
+
+class TestAnalysis:
+    def test_token_count(self, spark):
+        df = spark.createDataFrame([(1, "a b  c"), (2, "")], "doc_id long, text string")
+        out = token_count(df).toPandas().set_index("doc_id").n_tokens
+        assert out[1] == 3 and out[2] == 0
+
+    def test_quality_monotone_in_length(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the and of to in is that it for was good text here"),
+             (2, "x")], "doc_id long, text string")
+        q = quality_score(df).toPandas().set_index("doc_id").quality
+        assert q[1] > q[2]
+
+    def test_language_id_english(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the cat and the dog went to the house in the morning"),
+             (2, "der hund und die katze ist nicht mit dem auto auf den berg"),
+             (3, "zzz qqq xxx")], "doc_id long, text string")
+        out = language_id(df).toPandas().set_index("doc_id").lang_pred
+        assert out[1] == "en" and out[2] == "de" and out[3] == "unknown"
+
+    def test_fingerprint_order_insensitive(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "gamma alpha beta"), (3, "alpha beta delta")],
+            "doc_id long, text string")
+        fp = doc_fingerprint(df).toPandas().set_index("doc_id").fingerprint
+        assert fp[1] == fp[2] and fp[1] != fp[3]
+
+
+class TestMultimodal:
+    def test_pipeline_shapes(self, spark, docs):
+        from geodistpy_spark.textops import media_feature_pipeline
+
+        mf = media_feature_pipeline(docs.limit(200)).toPandas()
+        if len(mf):
+            assert set(mf.columns) == {"doc_id", "span_idx", "media_ref",
+                                       "width", "height", "n_bytes", "features"}
+            assert (mf.n_bytes == 128).all()
+            assert all(len(f) == 8 for f in mf.features)
+
+    def test_decode_deterministic(self, spark, docs):
+        from geodistpy_spark.textops import media_feature_pipeline
+
+        a = media_feature_pipeline(docs.limit(50)).toPandas().sort_values(
+            ["doc_id", "span_idx"]).reset_index(drop=True)
+        b = media_feature_pipeline(docs.limit(50)).toPandas().sort_values(
+            ["doc_id", "span_idx"]).reset_index(drop=True)
+        assert (a.width == b.width).all() and (a.height == b.height).all()
+
+    def test_real_decode_raises(self, spark, docs):
+        from geodistpy_spark.textops.multimodal import decode_media, fetch_media_bytes
+        from geodistpy_spark.sources.documents import extract_media_spans
+
+        spans = extract_media_spans(docs.limit(20)).select("doc_id", "span_idx", "media_ref")
+        wb = fetch_media_bytes(spans)
+        with pytest.raises(Exception, match="NotImplementedError|codec"):
+            decode_media(wb, fake=False).count()
