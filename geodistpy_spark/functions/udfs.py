@@ -28,12 +28,19 @@ _FULL_SCHEMA = T.StructType([
 ])
 
 
-def vincenty_udf(ellipsoid="WGS-84"):
+def vincenty_udf(ellipsoid="WGS-84", once: bool = False):
     """Scalar pandas UDF: exact geodesic distance in meters.
 
     Vectorized Vincenty with in-batch Karney rescue of non-converged
     (near-antipodal) lanes — single pass, no second job
     (reference analog: geodesic.py:204-240, :311-358).
+
+    ``once=True`` marks the UDF non-deterministic, which stops Catalyst
+    from cloning it into both a Filter and a Project (the
+    compute-then-threshold shape of radius/kNN refines would otherwise
+    run the Python kernel TWICE per row — visible as two ArrowEvalPython
+    nodes in the plan). The kernel is in fact deterministic; the flag is
+    purely an evaluate-once fence.
     """
     a, f = resolve_ellipsoid(ellipsoid)
 
@@ -44,7 +51,7 @@ def vincenty_udf(ellipsoid="WGS-84"):
                                lat2.to_numpy(), lon2.to_numpy(), a, f)
         return pd.Series(s)
 
-    return _vincenty_m
+    return _vincenty_m.asNondeterministic() if once else _vincenty_m
 
 
 def vincenty_full_udf(ellipsoid="WGS-84"):

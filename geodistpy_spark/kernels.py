@@ -109,7 +109,9 @@ def vincenty_inverse(lat1, lon1, lat2, lon2, a: float = WGS84_A, f: float = WGS8
     Non-converged lanes (near-antipodal) carry ``converged=False`` and
     must be recomputed with :func:`karney_inverse`.
     """
-    p1, l1, p2, l2 = (np.radians(_as_f64(v)) for v in (lat1, lon1, lat2, lon2))
+    p1, l1, p2, l2 = np.broadcast_arrays(
+        *(np.radians(_as_f64(v)) for v in (lat1, lon1, lat2, lon2))
+    )
     b = a * (1.0 - f)
     L = l2 - l1
     # wrap to (-pi, pi]
@@ -119,50 +121,71 @@ def vincenty_inverse(lat1, lon1, lat2, lon2, a: float = WGS84_A, f: float = WGS8
     sU1, cU1 = np.sin(U1), np.cos(U1)
     sU2, cU2 = np.sin(U2), np.cos(U2)
 
-    lam = L.copy()
-    shape = lam.shape
-    done = np.zeros(shape, dtype=bool)
-    diverged = np.zeros(shape, dtype=bool)
+    lam_full = L.reshape(-1).copy()
+    n = lam_full.size
+    # flat working views (lane compression: each iteration only touches
+    # the still-unconverged lanes — most pairs converge in 2-4 rounds, so
+    # this cuts the dominant cost ~2-3x vs full-array masked iteration)
+    Lf = L.reshape(-1)
+    sU1f, cU1f = sU1.reshape(-1), cU1.reshape(-1)
+    sU2f, cU2f = sU2.reshape(-1), cU2.reshape(-1)
 
-    sin_sigma = np.zeros(shape)
-    cos_sigma = np.ones(shape)
-    sigma = np.zeros(shape)
-    sin_alpha = np.zeros(shape)
-    cos_sq_alpha = np.ones(shape)
-    cos2sm = np.zeros(shape)
+    sin_sigma = np.zeros(n)
+    cos_sigma = np.ones(n)
+    sigma = np.zeros(n)
+    sin_alpha = np.zeros(n)
+    cos_sq_alpha = np.ones(n)
+    cos2sm = np.zeros(n)
+    diverged = np.zeros(n, dtype=bool)
+    settled = np.zeros(n, dtype=bool)
 
+    idx = np.arange(n)
+    lam = lam_full.copy()
     for _ in range(_MAX_ITER):
-        if done.all():
+        if idx.size == 0:
             break
-        sl, cl = np.sin(lam), np.cos(lam)
-        ss = np.hypot(cU2 * sl, cU1 * sU2 - sU1 * cU2 * cl)
-        cs = sU1 * sU2 + cU1 * cU2 * cl
+        li = lam[idx]
+        Li = Lf[idx]
+        su1, cu1 = sU1f[idx], cU1f[idx]
+        su2, cu2 = sU2f[idx], cU2f[idx]
+        sl, cl = np.sin(li), np.cos(li)
+        ss = np.hypot(cu2 * sl, cu1 * su2 - su1 * cu2 * cl)
+        cs = su1 * su2 + cu1 * cu2 * cl
         sg = np.arctan2(ss, cs)
         with np.errstate(divide="ignore", invalid="ignore"):
-            sa = np.where(ss != 0.0, cU1 * cU2 * sl / np.where(ss != 0.0, ss, 1.0), 0.0)
+            sa = np.where(ss != 0.0, cu1 * cu2 * sl / np.where(ss != 0.0, ss, 1.0), 0.0)
         c2a = 1.0 - sa * sa
         with np.errstate(divide="ignore", invalid="ignore"):
-            c2m = np.where(c2a != 0.0, cs - 2.0 * sU1 * sU2 / np.where(c2a != 0.0, c2a, 1.0), 0.0)
+            c2m = np.where(c2a != 0.0, cs - 2.0 * su1 * su2 / np.where(c2a != 0.0, c2a, 1.0), 0.0)
         C = (f / 16.0) * c2a * (4.0 + f * (4.0 - 3.0 * c2a))
-        lam_new = L + (1.0 - C) * f * sa * (
+        lam_new = Li + (1.0 - C) * f * sa * (
             sg + C * ss * (c2m + C * cs * (-1.0 + 2.0 * c2m * c2m))
         )
-        newly = ~done
-        sin_sigma = np.where(newly, ss, sin_sigma)
-        cos_sigma = np.where(newly, cs, cos_sigma)
-        sigma = np.where(newly, sg, sigma)
-        sin_alpha = np.where(newly, sa, sin_alpha)
-        cos_sq_alpha = np.where(newly, c2a, cos_sq_alpha)
-        cos2sm = np.where(newly, c2m, cos2sm)
-        conv = np.abs(lam_new - lam) < _CONV
+        # write back current state for these lanes
+        sin_sigma[idx] = ss
+        cos_sigma[idx] = cs
+        sigma[idx] = sg
+        sin_alpha[idx] = sa
+        cos_sq_alpha[idx] = c2a
+        cos2sm[idx] = c2m
+        conv = np.abs(lam_new - li) < _CONV
         div = np.abs(lam_new) > np.pi
-        diverged |= newly & div
-        done |= conv | diverged
-        lam = np.where(done, lam, lam_new)
+        fin = conv | div
+        diverged[idx[div]] = True
+        settled[idx[fin]] = True
+        keep = ~fin
+        lam[idx[keep]] = lam_new[keep]
+        idx = idx[keep]
 
-    converged = done & ~diverged
-    # lanes that never settled in 200 iterations
-    converged &= ~(~done)
+    shape = L.shape
+    converged = (settled & ~diverged).reshape(shape)
+    sin_sigma = sin_sigma.reshape(shape)
+    cos_sigma = cos_sigma.reshape(shape)
+    sigma = sigma.reshape(shape)
+    sin_alpha = sin_alpha.reshape(shape)
+    cos_sq_alpha = cos_sq_alpha.reshape(shape)
+    cos2sm = cos2sm.reshape(shape)
+    lam = lam.reshape(shape)
 
     ep2 = (a * a - b * b) / (b * b)
     u2 = cos_sq_alpha * ep2

@@ -54,7 +54,7 @@ def point_in_radius(df: DataFrame, center: tuple[float, float], radius,
     cell = F.col(cell_col) if cell_col else cell_id_col(lat_col, lon_col, cres)
     pre = df.filter(cell.isin(cover))
     if exact:
-        d = vincenty_udf(ellipsoid)(F.lit(clat), F.lit(clon), F.col(lat_col), F.col(lon_col))
+        d = vincenty_udf(ellipsoid, once=True)(F.lit(clat), F.lit(clon), F.col(lat_col), F.col(lon_col))
     else:
         d = great_circle_m(F.lit(clat), F.lit(clon), F.col(lat_col), F.col(lon_col))
     return (
@@ -147,7 +147,7 @@ def radius_join(queries: DataFrame, candidates: DataFrame, radius,
 
     joined = q.join(c, on=join_keys, how="inner")
     if exact:
-        d = vincenty_udf(ellipsoid)(F.col("__qlat"), F.col("__qlon"), F.col(c_lat), F.col(c_lon))
+        d = vincenty_udf(ellipsoid, once=True)(F.col("__qlat"), F.col("__qlon"), F.col(c_lat), F.col(c_lon))
     else:
         d = great_circle_m("__qlat", "__qlon", c_lat, c_lon)
     return (
