@@ -1,0 +1,49 @@
+"""Structured Streaming ingestion for the engine.
+
+The reference has no streaming surface (SURVEY.md §2.3); the engine adds
+the natural streaming entry points for a continuously-ingested document
+corpus:
+
+- :func:`stream_extract_geo` — streaming documents -> geo-span
+  extraction + cell index. Extraction is stateless column math, so it
+  runs unchanged under ``readStream`` (same Catalyst plan, incremental
+  execution); downstream batch joins consume the materialized sink.
+- :func:`stream_windowed_event_counts` — watermarked tumbling-window
+  aggregation over an event stream (late data dropped past the
+  watermark), the standard stateful-op shape.
+
+Both are exercised in tests with parquet sources + memory sinks via
+``processAllAvailable`` (synchronous local smoke; production would point
+at object-store directories or Kafka with checkpointLocation set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.documents import SPANS_SCHEMA_DDL, extract_geo_spans
+
+
+def stream_extract_geo(spark: SparkSession, input_dir: str,
+                       res: int = 12, max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming DataFrame: documents dir -> (doc_id, span_idx, lat, lon,
+    cell_r{res}). Stateless, so append-mode with no watermark needed."""
+    reader = spark.readStream.schema(SPANS_SCHEMA_DDL)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(input_dir)
+    return extract_geo_spans(docs, res=res)
+
+
+def stream_windowed_event_counts(spark: SparkSession, input_dir: str,
+                                 schema: str,
+                                 window: str = "5 minutes",
+                                 watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling-window counts per event_type over a stream."""
+    events = spark.readStream.schema(schema).parquet(input_dir)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+    )

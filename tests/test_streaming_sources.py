@@ -1,0 +1,90 @@
+"""Streaming ingestion + resolver + IO contract tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geodistpy_spark.sources.resolver import (
+    coordinates_from_df,
+    resolve_coordinate_columns,
+)
+
+
+class TestResolver:
+    """Column auto-detect precedence mirrors the reference
+    (pandas_support.py:101-115; tests/test_pandas_support.py:42-66)."""
+
+    def test_precedence(self, spark):
+        df = spark.createDataFrame(
+            [(1, 1.0, 2.0, 3.0, 4.0)],
+            "id long, lat double, lon double, latitude double, longitude double")
+        assert resolve_coordinate_columns(df) == ("lat", "lon")
+        df2 = spark.createDataFrame([(1, 3.0, 4.0)], "id long, latitude double, longitude double")
+        assert resolve_coordinate_columns(df2) == ("latitude", "longitude")
+
+    def test_explicit_override(self, spark):
+        df = spark.createDataFrame([(1, 3.0, 4.0)], "id long, y double, x double")
+        assert resolve_coordinate_columns(df, "y", "x") == ("y", "x")
+        with pytest.raises(ValueError):
+            resolve_coordinate_columns(df)
+        with pytest.raises(ValueError):
+            resolve_coordinate_columns(df, "y", None)
+
+    def test_coordinates_from_df_keys_and_validation(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", 10.0, 20.0), (2, "b", 95.0, 20.0)],
+            "id long, name string, LAT double, LON double")
+        out = coordinates_from_df(df).toPandas()
+        assert list(out.columns) == ["id", "name", "lat", "lon"]
+        assert len(out) == 1  # out-of-range row dropped
+
+
+class TestStreaming:
+    def test_stream_extract_geo(self, spark, fixture_paths, tmp_path):
+        import shutil
+
+        src = str(tmp_path / "stream_in")
+        shutil.copytree(fixture_paths["documents"], src) if False else None
+        # parquet streaming source wants a directory
+        import os
+
+        os.makedirs(src, exist_ok=True)
+        shutil.copy(fixture_paths["documents"], os.path.join(src, "part-0.parquet"))
+
+        from geodistpy_spark.streaming import stream_extract_geo
+
+        geo = stream_extract_geo(spark, src, res=10)
+        assert geo.isStreaming
+        q = (geo.writeStream.format("memory").queryName("geo_stream")
+             .outputMode("append").start())
+        try:
+            q.processAllAvailable()
+            got = spark.sql("SELECT count(*) AS n FROM geo_stream").first()["n"]
+        finally:
+            q.stop()
+        # must equal the batch extraction row count
+        from geodistpy_spark.sources.documents import extract_geo_spans
+
+        batch = extract_geo_spans(spark.read.parquet(fixture_paths["documents"])).count()
+        assert got == batch
+
+    def test_stream_windowed_events(self, spark, tmp_path):
+        import os
+        import shutil
+
+        src = str(tmp_path / "ev_in")
+        os.makedirs(src, exist_ok=True)
+        shutil.copy("/root/testdata/sf0.001/events.parquet", os.path.join(src, "p0.parquet"))
+        schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+                  "value double, props string")
+        from geodistpy_spark.streaming import stream_windowed_event_counts
+
+        agg = stream_windowed_event_counts(spark, src, schema)
+        q = (agg.writeStream.format("memory").queryName("ev_stream")
+             .outputMode("complete").start())
+        try:
+            q.processAllAvailable()
+            out = spark.sql("SELECT sum(n) AS total FROM ev_stream").first()["total"]
+        finally:
+            q.stop()
+        assert out == spark.read.parquet(os.path.join(src, "p0.parquet")).count()
