@@ -1,0 +1,78 @@
+"""Readers/writers for the engine's tables (sources & sinks).
+
+The reference has no IO surface (in-memory arrays only, SURVEY.md §2.3);
+the engine's scale story depends on physical layout, so the writers are
+first-class:
+
+- :func:`write_cell_partitioned` — points written hive-partitioned by a
+  COARSE cell id (plus optional file-level sort by fine cell). Radius /
+  kNN / polygon covers then prune whole partitions at the file-listing
+  level (partition pruning) before any row is read — the 100 TB analog
+  of the in-memory cell prefilter.
+- :func:`read_cell_partitioned` — reads the layout back; the coarse cell
+  column arrives as a partition column, so ``cell_pXX IN (...)``
+  predicates never touch non-matching files.
+- :func:`write_documents` / :func:`read_documents` — the interleaved
+  documents table, schema-checked against the input_hint contract.
+
+Iceberg would supply snapshots + hidden partitioning at production; its
+jars aren't in this environment, so plain parquet + explicit partition
+columns + the checkpoint log (plans.pipeline) stand in with the same
+semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.expressions import cell_id_col, parent_cell_col
+from .documents import SPANS_SCHEMA_DDL
+
+
+def write_cell_partitioned(df: DataFrame, path: str,
+                           lat_col: str = "lat", lon_col: str = "lon",
+                           res: int = 12, partition_res: int = 4,
+                           mode: str = "overwrite") -> None:
+    """Write points hive-partitioned by the parent cell at
+    ``partition_res``; rows inside each partition carry the fine cell at
+    ``res`` and are sorted by it (row-group pruning within files).
+    """
+    fine = f"cell_r{res}"
+    part = f"cell_p{partition_res}"
+    out = (
+        df.withColumn(fine, cell_id_col(lat_col, lon_col, res))
+        .withColumn(part, parent_cell_col(F.col(fine), res, partition_res))
+        .repartition(part)
+        .sortWithinPartitions(part, fine)
+    )
+    out.write.mode(mode).partitionBy(part).parquet(path)
+
+
+def read_cell_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def cells_to_partitions(cover_cells: list[int], res: int, partition_res: int) -> list[int]:
+    """Partition values a cover set touches (for partition-pruned scans)."""
+    shift = res - partition_res
+    n = 1 << res
+    pn = 1 << partition_res
+    parts = {((c // n) >> shift) * pn + ((c % n) >> shift) for c in cover_cells}
+    return sorted(parts)
+
+
+def write_documents(df: DataFrame, path: str, n_buckets: int | None = None,
+                    mode: str = "overwrite") -> None:
+    """Write an interleaved documents table (schema-checked)."""
+    got = {f.name for f in df.schema.fields}
+    if got != {"doc_id", "spans"}:
+        raise ValueError(f"documents table must be (doc_id, spans); got {sorted(got)}")
+    writer = df.write.mode(mode)
+    writer.parquet(path)
+
+
+def read_documents(spark: SparkSession, path: str) -> DataFrame:
+    """Read documents with the input_hint schema enforced (mis-typed
+    files fail loudly instead of silently inferring)."""
+    return spark.read.schema(SPANS_SCHEMA_DDL).parquet(path)

@@ -1,0 +1,60 @@
+"""IO layout tests: cell-partitioned writes enable partition pruning."""
+
+import numpy as np
+
+from geodistpy_spark import grid as G
+from geodistpy_spark.sources.io import (
+    cells_to_partitions,
+    read_cell_partitioned,
+    read_documents,
+    write_cell_partitioned,
+    write_documents,
+)
+
+
+class TestCellPartitionedLayout:
+    def test_roundtrip_and_pruning(self, spark, places, tmp_path):
+        path = str(tmp_path / "pts")
+        write_cell_partitioned(places, path, res=12, partition_res=3)
+        back = read_cell_partitioned(spark, path)
+        assert back.count() == places.count()
+        assert "cell_p3" in back.columns and "cell_r12" in back.columns
+
+        # a radius cover prunes to few partitions; plan must show pruning
+        res, cover = G.cell_cover(48.85, 2.35, 300_000.0, res=12)
+        parts = cells_to_partitions(cover, 12, 3)
+        pruned = back.filter(back.cell_p3.isin(parts))
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert len(parts) < 8
+        # all covered rows survive the partition filter
+        import pandas as pd
+
+        pl = places.toPandas()
+        cids = G.cell_id_np(pl.lat.values, pl.lon.values, 12)
+        in_cover = pl[np.isin(cids, np.array(cover))]
+        got = pruned.filter(pruned.cell_r12.isin([int(c) for c in cover])).toPandas()
+        assert set(got.place_id) == set(in_cover.place_id)
+
+    def test_fine_cell_matches_expression(self, spark, places, tmp_path):
+        path = str(tmp_path / "pts2")
+        write_cell_partitioned(places, path, res=10, partition_res=2)
+        back = read_cell_partitioned(spark, path).toPandas()
+        exp = G.cell_id_np(back.lat.values, back.lon.values, 10)
+        assert (back.cell_r10.values == exp).all()
+
+
+class TestDocumentsIO:
+    def test_schema_enforced_roundtrip(self, spark, docs, tmp_path):
+        path = str(tmp_path / "docs_out")
+        write_documents(docs, path)
+        back = read_documents(spark, path)
+        assert back.count() == docs.count()
+        from geodistpy_spark.sources.documents import verify_span_sequence
+
+        assert verify_span_sequence(docs, back) == 0
+
+    def test_bad_schema_rejected(self, spark, places, tmp_path):
+        import pytest
+
+        with pytest.raises(ValueError, match="doc_id, spans"):
+            write_documents(places, str(tmp_path / "bad"))
