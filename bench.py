@@ -150,7 +150,7 @@ def main():
     from geodistpy_spark import get_spark
 
     spark = get_spark(app_name="geodistpy_spark_bench", master=f"local[{CPUS}]",
-                      shuffle_partitions=int(CPUS))
+                      shuffle_partitions=int(CPUS) * 4)
     t0 = time.perf_counter()
     timings = run_bench(spark, SF_DIR)
     total = round(time.perf_counter() - t0, 3)

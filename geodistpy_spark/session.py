@@ -17,10 +17,13 @@ def get_spark(app_name: str = "geodistpy_spark", master: str | None = None,
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
+        # cores x 4: memory-heavy aggregations (collect_list, wide minhash
+        # groupBys) need partitions smaller than cores x 1 would give, and
+        # AQE coalesces the excess away on small stages
         try:
-            shuffle_partitions = int(cpus)
+            shuffle_partitions = int(cpus) * 4
         except ValueError:
-            shuffle_partitions = 32
+            shuffle_partitions = 128
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
