@@ -39,16 +39,30 @@ def _sf_value() -> float:
         return 0.0
 
 
-def ensure_bench_docs(n_docs: int) -> str:
-    """Bench-scale interleaved documents parquet (deterministic, cached)."""
+def ensure_bench_docs(n_docs: int, n_files: int = 32) -> str:
+    """Bench-scale interleaved documents table (deterministic, cached).
+
+    Written as a DIRECTORY of ``n_files`` parquet files so the scan has
+    real split parallelism — a single 100+ MB file with one row group
+    pins extraction to 1-2 tasks, which is not how production tables
+    (thousands of files) behave.
+    """
     import pyarrow.parquet as pq
 
     from geodistpy_spark.sources.fixtures import generate_documents
 
     os.makedirs(BENCH_DIR, exist_ok=True)
-    path = os.path.join(BENCH_DIR, f"docs_{n_docs}.parquet")
-    if not os.path.exists(path):
-        pq.write_table(generate_documents(n_docs), path)
+    path = os.path.join(BENCH_DIR, f"docs_{n_docs}")
+    marker = os.path.join(path, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        table = generate_documents(n_docs)
+        step = (n_docs + n_files - 1) // n_files
+        for i in range(n_files):
+            sl = table.slice(i * step, step)
+            if sl.num_rows:
+                pq.write_table(sl, os.path.join(path, f"part-{i:04d}.parquet"))
+        open(marker, "w").close()
     return path
 
 

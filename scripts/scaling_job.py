@@ -31,7 +31,9 @@ def main():
     n_queries = int(sys.argv[3]) if len(sys.argv) > 3 else 2_000
     radius_m = float(sys.argv[4]) if len(sys.argv) > 4 else 1_000_000.0
 
-    os.environ.setdefault("SPARK_DRIVER_MEMORY", "96g")
+    # 32g is the sweet spot measured on this box: huge heaps defer G1
+    # collection into rare massive pauses that wreck run-to-run variance
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
     from pyspark.sql import functions as F
 
     from bench import ensure_bench_docs, ensure_bench_queries
@@ -48,27 +50,39 @@ def main():
     queries = spark.read.parquet(queries_path)
 
     def job():
-        # the fixture is ONE parquet file -> 1-2 scan splits; without this
-        # repartition the broadcast-join pipeline (no shuffle anywhere)
-        # would run at scan parallelism regardless of cores. Production
-        # tables arrive as thousands of files/splits, so the repartition
-        # stands in for real input parallelism rather than adding work.
-        geo = extract_geo_spans(docs, res=12).repartition(cpus * 4)
+        # docs fixture is written as 32 files (bench.ensure_bench_docs), so
+        # scan -> extract -> broadcast cover join -> Arrow refine -> agg is
+        # ONE fully parallel pipelined stage with no shuffle at all.
+        geo = extract_geo_spans(docs, res=12)
         rj = radius_join(queries, geo, radius_m, c_lat="lat", c_lon="lon")
         row = rj.agg(F.count("*").alias("n"), F.sum("dist").alias("s")).collect()[0]
         return row["n"]
 
-    n_pairs = job()  # warm: codegen + Arrow workers + file listing
-    walls = []
-    for _ in range(3):  # best-of-3: this host shows large run-to-run noise
+    def cpu_stat():
+        p = open("/proc/stat").readline().split()
+        v = list(map(int, p[1:9]))
+        return sum(v), v[7]  # total jiffies, steal jiffies
+
+    n_pairs = job()
+    for _ in range(2):
+        job()  # 3 warm executions total: C2 JIT + codegen + Arrow workers
+    walls, steals = [], []
+    for _ in range(5):  # best-of-5: this shared host has noisy periods
+        spark.sparkContext._jvm.System.gc()  # fence out cross-rep GC debt
+        j0, s0 = cpu_stat()
         t0 = time.perf_counter()
         job()
-        walls.append(time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        j1, s1 = cpu_stat()
+        walls.append(dt)
+        # steal cores-equivalent during the run (hypervisor contention)
+        steals.append(round((s1 - s0) / 100.0 / dt, 2))
     wall = min(walls)
     print(json.dumps({
         "cpus": cpus, "n_docs": n_docs, "n_queries": n_queries,
         "radius_m": radius_m, "result_pairs": n_pairs,
         "wall_sec": round(wall, 3), "walls": [round(w, 3) for w in walls],
+        "steal_cores": steals,
         "docs_per_sec": round(n_docs / wall, 1),
     }))
     spark.stop()
