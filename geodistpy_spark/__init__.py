@@ -23,5 +23,25 @@ Layers
 from .constants import ELLIPSOIDS, UNIT_FACTORS, resolve_ellipsoid, unit_factor
 from .session import get_spark
 
+
+def __getattr__(name):
+    """Lazy top-level re-exports for reference-API-parity names
+    (geodist, geodesic_knn, point_in_radius, ...) without importing the
+    operator modules (and their Spark deps) at package-import time."""
+    from importlib import import_module
+
+    _OPERATOR_NAMES = {
+        "geodist", "geodist_matrix", "geodist_to_many", "greatcircle",
+        "greatcircle_matrix", "haversine_dist", "bearing", "destination",
+        "interpolate", "midpoint", "geodist_dimwise", "point_in_radius",
+        "radius_join", "geodesic_knn", "knn_join", "point_in_polygon_join",
+        "zonal_stats",
+    }
+    if name in _OPERATOR_NAMES:
+        return getattr(import_module(".operators", __name__), name)
+    if name == "coordinates_from_df":
+        return import_module(".sources.resolver", __name__).coordinates_from_df
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
 __version__ = "0.1.0"
 __all__ = ["ELLIPSOIDS", "UNIT_FACTORS", "resolve_ellipsoid", "unit_factor", "get_spark", "__version__"]

@@ -6,6 +6,7 @@ from .distances import (
     geodist_matrix,
     geodist_to_many,
     greatcircle,
+    greatcircle_matrix,
     haversine_dist,
     interpolate,
     midpoint,
@@ -16,7 +17,7 @@ from .radius import point_in_radius, radius_join
 
 __all__ = [
     "bearing", "destination", "geodist", "geodist_dimwise", "geodist_matrix",
-    "geodist_to_many", "greatcircle", "haversine_dist", "interpolate",
+    "geodist_to_many", "greatcircle", "greatcircle_matrix", "haversine_dist", "interpolate",
     "midpoint", "geodesic_knn", "knn_join", "point_in_polygon_join",
     "zonal_stats", "point_in_radius", "radius_join",
 ]

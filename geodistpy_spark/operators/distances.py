@@ -124,6 +124,16 @@ def geodist_matrix(df1: DataFrame, df2: DataFrame | None = None,
     return pairs
 
 
+def greatcircle_matrix(df1: DataFrame, df2: DataFrame | None = None,
+                       id_col: str = "id", lat_col: str = "lat", lon_col: str = "lon",
+                       metric: str = "meter", mirror: bool = True) -> DataFrame:
+    """All-pairs great-circle relation (reference ``greatcircle_matrix``,
+    distance.py:740-814) — geodist_matrix with the codegen fast path."""
+    return geodist_matrix(df1, df2, id_col=id_col, lat_col=lat_col,
+                          lon_col=lon_col, metric=metric, exact=False,
+                          mirror=mirror)
+
+
 def bearing(df: DataFrame, lat1: str, lon1: str, lat2: str, lon2: str,
             ellipsoid="WGS-84", out: str = "bearing_deg") -> DataFrame:
     """Initial forward azimuth A->B, degrees [0, 360), exact Vincenty
