@@ -499,6 +499,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("user_id", "n_events", F.col("n_sessions").cast("long").alias("n_sessions"))
 
+    def q_point_in_radius_gc(spark, sf_dir):
+        from geodistpy_spark.operators import point_in_radius
+
+        hits = point_in_radius(_cand_points(spark, sf_dir), (48.8566, 2.3522),
+                               2_000_000.0, exact=False)
+        return hits.select("cand_id", _r0(F.col("dist")).alias("dist_m"))
+
+    def q_radius_join_salted(spark, sf_dir):
+        rj = radius_join(_query_points(spark, sf_dir), _cand_points(spark, sf_dir),
+                         800_000.0, c_lat="lat", c_lon="lon", exact=False, salt=4)
+        return rj.select("query_id", "cand_id", _r0(F.col("dist")).alias("dist_m"))
+
+    def q_simhash_near_pairs(spark, sf_dir):
+        from geodistpy_spark.textops import simhash_near_pairs
+
+        out = simhash_near_pairs(_flat_docs(spark, sf_dir), max_hamming=3)
+        return out.select("id_1", "id_2", F.col("hamming").cast("long").alias("hamming"))
+
+    def q_dimwise(spark, sf_dir):
+        from geodistpy_spark.operators import geodist_dimwise
+
+        q = _query_points(spark, sf_dir).select(
+            F.col("query_id").alias("id"), F.col("q_lat").alias("lat"),
+            F.col("q_lon").alias("lon"),
+            (F.col("query_id") % 7).cast("double").alias("feat"))
+        out = geodist_dimwise(q, "id", "lat", "lon", ["feat"])
+        return out.select("id_1", "id_2", _r0(F.col("dist_m")).alias("dist_m"), "d_feat")
+
+    def q_embedding_near_pairs(spark, sf_dir):
+        from geodistpy_spark.textops import embedding_near_pairs
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        out = embedding_near_pairs(emb, threshold=0.3, n_planes=6)
+        return out.select("id_1", "id_2", F.round("cosine", 6).alias("cos_r"))
+
+    def q_rolling_fingerprints(spark, sf_dir):
+        from geodistpy_spark.textops import rolling_fingerprints
+
+        return rolling_fingerprints(_flat_docs(spark, sf_dir))
+
     # --- multimodal + ANN scale path (rows-only) -----------------------
     def q_media_features(spark, sf_dir):
         from geodistpy_spark.textops import media_feature_pipeline
@@ -552,6 +592,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "media_features": q_media_features,
         "ivf_topk": q_ivf_topk,
+        "point_in_radius_gc": q_point_in_radius_gc,
+        "radius_join_salted": q_radius_join_salted,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "dimwise": q_dimwise,
+        "embedding_near_pairs": q_embedding_near_pairs,
+        "rolling_fingerprints": q_rolling_fingerprints,
     }
 
 
@@ -748,6 +794,27 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank FROM s) "
             "SELECT query_id, vec_id, round(cosine, 6) AS cos_r, "
             "CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5"
+        ),
+        "point_in_radius_gc": (
+            f"SELECT cand_id, round({gc_o}, 0) AS dist_m FROM ({_CAND_SQL}) "
+            f"WHERE {gc_o} <= 2e6"
+        ),
+        "radius_join_salted": (
+            f"SELECT q.query_id, c.cand_id, round({gc_q}, 0) AS dist_m "
+            f"FROM ({_QRY_SQL}) q, ({_CAND_SQL}) c WHERE {gc_q} <= 8e5"
+        ),
+        "simhash_near_pairs": (
+            f"WITH t AS (SELECT doc_id, unnest({_WORDS}) AS tok FROM documents), "
+            f"h AS (SELECT doc_id, CAST({th_expr} AS BIGINT) AS th FROM t), "
+            f"b AS (SELECT doc_id, {sim_sums} FROM h GROUP BY doc_id), "
+            f"sim AS (SELECT doc_id, CAST({sim_val} AS BIGINT) AS simhash FROM b), "
+            "bands AS (SELECT doc_id, simhash, concat_ws(':', 'lo', CAST(simhash % 256 AS VARCHAR)) AS band FROM sim "
+            "UNION ALL SELECT doc_id, simhash, concat_ws(':', 'hi', CAST(simhash // 256 AS VARCHAR)) AS band FROM sim), "
+            "cand AS (SELECT DISTINCT a.doc_id AS id_1, a.simhash AS sh_1, "
+            "b2.doc_id AS id_2, b2.simhash AS sh_2 FROM bands a JOIN bands b2 "
+            "ON a.band = b2.band WHERE a.doc_id < b2.doc_id) "
+            "SELECT id_1, id_2, CAST(bit_count(xor(sh_1, sh_2)) AS BIGINT) AS hamming "
+            "FROM cand WHERE bit_count(xor(sh_1, sh_2)) <= 3"
         ),
         "sessionize": (
             "WITH o AS (SELECT user_id, ts, "
