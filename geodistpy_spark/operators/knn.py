@@ -78,12 +78,13 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
              metric: str = "meter", ellipsoid="WGS-84", exact: bool = True,
              q_id: str = "query_id", q_lat: str = "q_lat", q_lon: str = "q_lon",
              c_lat: str = "lat", c_lon: str = "lon",
-             r0_m: float | None = None, max_rounds: int = 6,
+             r0_m: float | None = None, max_rounds: int = 5,
+             growth: float = 8.0,
              salt: int | None = None, out: str = "dist") -> DataFrame:
     """Many-to-many kNN join: for every query row, its k nearest
     candidates by exact geodesic distance.
 
-    Round-based expanding radius (R, 4R, 16R, ...): each round runs a
+    Round-based expanding radius (R, growth*R, growth^2*R, ...): each round runs a
     cover-prefiltered radius join for the still-unresolved queries, takes
     per-query top-k with a ranking window, and resolves queries whose
     k-th neighbor distance <= R (ring closure). The last round uses a
@@ -140,7 +141,7 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
         unresolved = unresolved.join(closed_ids, on=q_id, how="left_anti").localCheckpoint()
         if unresolved.isEmpty():
             break
-        R *= 4.0
+        R *= growth
 
     result = resolved_parts[0]
     for p in resolved_parts[1:]:
