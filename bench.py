@@ -191,6 +191,10 @@ def main():
         "n_geo_points": n_geo,
         "cpus": int(CPUS),
     }
+    scaling_path = os.path.join(_REPO, "BENCH", "scaling.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            out["scaling"] = json.load(f)
     print(json.dumps(out))
     spark.stop()
 

@@ -202,6 +202,14 @@ def main():
     out_path = os.path.join(_REPO, "BENCH", "BASELINE.md")
     with open(out_path, "w") as f:
         f.write("\n".join(lines))
+    with open(os.path.join(_REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump({
+            "pair": f"local[{n}]->local[{n4}]",
+            "efficiency": round(eff_primary, 3),
+            "efficiency_host_corrected": round(eff_primary / ceil_primary, 3),
+            "eff_8_32": round(eff_8_32, 3),
+            "kernel_fleet_eff_2_8": round(kern_eff, 3),
+        }, f)
     print(f"wrote {out_path}: eff({n}->{n4})={eff_primary:.3f} "
           f"corrected={eff_primary / ceil_primary:.3f} eff(8->32)={eff_8_32:.3f}")
 
