@@ -417,11 +417,16 @@ def karney_inverse(lat1, lon1, lat2, lon2, a: float = WGS84_A, f: float = WGS84_
     b2 = b2 * latsign
     # canonical: b1 <= 0, b1 <= b2 <= -b1, lam12 in [0, pi]
 
-    # perturb exactly-equatorial pairs off the equator so the sigma branch
-    # is well defined (error ~1e-12 rad ~ 6 um; the exact equatorial
-    # shortest-path case is special-cased below before this matters)
-    both_eq = (b1 == 0.0) & (b2 == 0.0)
+    # (near-)equatorial pairs: when BOTH reduced latitudes are within
+    # ~1e-10 rad (~0.6 mm) of the equator, the sigma parametrization of
+    # the general solver degenerates (sigma ~ 0 at both points regardless
+    # of alpha1). Snap such pairs onto the equator and perturb point 1 to
+    # -1e-12 rad so the over-the-pole branch stays representable; the
+    # snap+perturb error is micrometers, and the short equatorial arc is
+    # special-cased exactly below.
+    both_eq = (np.abs(b1) < 1e-10) & (np.abs(b2) < 1e-10)
     b1 = np.where(both_eq, -1e-12, b1)
+    b2 = np.where(both_eq, 0.0, b2)
 
     sbet1, cbet1 = np.sin(b1), np.cos(b1)
     sbet2, cbet2 = np.sin(b2), np.cos(b2)

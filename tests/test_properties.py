@@ -1,0 +1,79 @@
+"""Hypothesis property tests for the numerical kernels (fast, no Spark).
+
+Extends the reference's hand-written metamorphic suite
+(tests/test_geodist.py:103-118) with generated inputs.
+"""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from geodistpy_spark import grid as G
+from geodistpy_spark import kernels as K
+
+lat = st.floats(min_value=-89.99, max_value=89.99, allow_nan=False)
+lon = st.floats(min_value=-180.0, max_value=180.0, allow_nan=False)
+
+
+@settings(max_examples=150, deadline=None)
+@given(lat, lon, lat, lon)
+def test_symmetry_and_nonnegativity(la1, lo1, la2, lo2):
+    d1 = K.geodesic_inverse([la1], [lo1], [la2], [lo2])[0]
+    d2 = K.geodesic_inverse([la2], [lo2], [la1], [lo1])[0]
+    assert d1 >= 0.0
+    assert abs(d1 - d2) < 1e-3
+    # no geodesic exceeds half the longest meridian circumference + slack
+    assert d1 <= 20_038_000.0
+
+
+@settings(max_examples=100, deadline=None)
+@given(lat, lon, lat, lon)
+def test_vincenty_karney_agree_or_flagged(la1, lo1, la2, lo2):
+    s_v, ok = K.vincenty_inverse([la1], [lo1], [la2], [lo2])
+    s_k = K.karney_inverse([la1], [lo1], [la2], [lo2])
+    if ok[0]:
+        assert abs(s_v[0] - s_k[0]) < 1e-3
+
+
+@settings(max_examples=100, deadline=None)
+@given(lat, lon, st.floats(min_value=0.0, max_value=359.999),
+       st.floats(min_value=0.0, max_value=19_000_000.0))
+def test_direct_output_in_range(la1, lo1, az, dist):
+    la2, lo2, az2 = K.vincenty_direct([la1], [lo1], [az], [dist])
+    assert -90.0 <= la2[0] <= 90.0
+    assert -180.0 <= lo2[0] <= 180.0
+    assert 0.0 <= az2[0] < 360.0
+
+
+@settings(max_examples=100, deadline=None)
+@given(lat, lon, st.integers(min_value=0, max_value=20))
+def test_cell_id_in_range_and_parent_consistent(la, lo, res):
+    c = G.cell_id(la, lo, res)
+    assert 0 <= c < (1 << (2 * res))
+    if res > 0:
+        assert G.parent_cell(c, res, res - 1) == G.cell_id(la, lo, res - 1)
+
+
+@settings(max_examples=60, deadline=None)
+@given(lat, lon, st.floats(min_value=10.0, max_value=5e6))
+def test_cover_contains_disk_samples(la, lo, radius):
+    res, cover = G.cell_cover(la, lo, radius)
+    cover_set = set(cover)
+    rng = np.random.default_rng(int(abs(la * 1000) + abs(lo * 10)) + 1)
+    az = rng.uniform(0, 360, 24)
+    frac = rng.uniform(0, 1, 24)
+    pla, plo, _ = K.vincenty_direct(np.full(24, la), np.full(24, lo), az, radius * frac)
+    cids = G.cell_id_np(pla, plo, res)
+    d = K.geodesic_inverse(np.full(24, la), np.full(24, lo), pla, plo)
+    inside = d <= radius
+    assert all(c in cover_set for c in cids[inside])
+
+
+@settings(max_examples=100, deadline=None)
+@given(lat, lon, lat, lon)
+def test_great_circle_close_to_exact(la1, lo1, la2, lo2):
+    gc = K.great_circle([la1], [lo1], [la2], [lo2])[0]
+    exact = K.karney_inverse([la1], [lo1], [la2], [lo2])[0]
+    # Lambert is ~<1 km away from exact except near antipodes, where the
+    # first-order-in-f correction degrades (known property of the formula)
+    bound = 1500.0 if exact < 19_500_000.0 else 25_000.0
+    assert abs(gc - exact) < bound
