@@ -5,7 +5,7 @@ from .analysis import (
     rolling_fingerprints,
     token_count,
 )
-from .ann import build_ivf_index, cosine_topk, ivf_topk
+from .ann import build_ivf_index, cosine_topk, ivf_topk, train_centroids
 from .dedup import (
     dedup_exact,
     embedding_near_pairs,
@@ -23,7 +23,7 @@ from .multimodal import decode_media, fetch_media_bytes, media_feature_pipeline
 
 __all__ = [
     "doc_fingerprint", "language_id", "quality_score", "rolling_fingerprints",
-    "token_count", "build_ivf_index", "cosine_topk", "ivf_topk", "dedup_exact",
+    "token_count", "build_ivf_index", "cosine_topk", "ivf_topk", "train_centroids", "dedup_exact",
     "embedding_near_pairs", "exact_duplicates", "lsh_candidate_pairs",
     "minhash_signatures", "near_duplicates_minhash", "ngram_jaccard",
     "shingles", "simhash", "simhash_near_pairs", "tokenize", "decode_media",
