@@ -417,14 +417,26 @@ def karney_inverse(lat1, lon1, lat2, lon2, a: float = WGS84_A, f: float = WGS84_
     b2 = b2 * latsign
     # canonical: b1 <= 0, b1 <= b2 <= -b1, lam12 in [0, pi]
 
-    # (near-)equatorial pairs: when BOTH reduced latitudes are within
-    # ~1e-10 rad (~0.6 mm) of the equator, the sigma parametrization of
-    # the general solver degenerates (sigma ~ 0 at both points regardless
-    # of alpha1). Snap such pairs onto the equator and perturb point 1 to
-    # -1e-12 rad so the over-the-pole branch stays representable; the
-    # snap+perturb error is micrometers, and the short equatorial arc is
-    # special-cased exactly below.
-    both_eq = (np.abs(b1) < 1e-10) & (np.abs(b2) < 1e-10)
+    # (near-)equatorial pairs degrade the sigma parametrization of the
+    # general solver (sigma at both endpoints is asin(beta/cos(alpha0))
+    # with beta ~ cos(alpha0) ~ 0: catastrophic cancellation). Fix: snap
+    # such pairs onto the equator — but ONLY when the snap's own distance
+    # error is provably < 50 um. Error budget for snapping (b1,b2)->0:
+    #   - meridional component: b*|db| when lam12 ~ 0, quadratically
+    #     suppressed (b*db)^2/(2*a*lam12) once the east-west leg dominates
+    #   - path-height: the true path hugs lat~beta, a*lam12*beta^2/2
+    #   - antipodal shortening: over-pole paths start closer by a*beta
+    maxb = np.maximum(np.abs(b1), np.abs(b2))
+    dbeta = np.abs(b1 - b2)
+    antipodal_lam = lam12 > (1.0 - f) * np.pi
+    merid_err = np.where(
+        lam12 > 1e-9,
+        (b * dbeta) ** 2 / (2.0 * a * np.maximum(lam12, 1e-9)),
+        b * dbeta,
+    )
+    height_err = a * lam12 * maxb * maxb / 2.0
+    anti_err = np.where(antipodal_lam, a * maxb, 0.0)
+    both_eq = (maxb < 2e-6) & ((merid_err + height_err + anti_err) < 5e-5)
     b1 = np.where(both_eq, -1e-12, b1)
     b2 = np.where(both_eq, 0.0, b2)
 
