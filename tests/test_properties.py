@@ -85,6 +85,9 @@ def test_great_circle_close_to_exact(la1, lo1, la2, lo2):
     gc = K.great_circle([la1], [lo1], [la2], [lo2])[0]
     exact = K.karney_inverse([la1], [lo1], [la2], [lo2])[0]
     # Lambert is ~<1 km away from exact except near antipodes, where the
-    # first-order-in-f correction degrades (known property of the formula)
-    bound = 1500.0 if exact < 19_500_000.0 else 25_000.0
+    # first-order-in-f correction degrades; at EXACT antipodes the
+    # spherical central angle itself is ~34 km off the true geodesic
+    # (inherent to the fast-approximate formula; the reference's own
+    # greatcircle shares this, geodesic.py:676-767)
+    bound = 1500.0 if exact < 19_500_000.0 else 40_000.0
     assert abs(gc - exact) < bound
