@@ -7,8 +7,8 @@ search with a ring-closure guarantee:
     search radius R covers ALL points within geodesic distance R
     (grid.cell_cover is conservative) ⇒ once >= k candidates are found
     inside the cover AND the k-th distance <= R, no uncovered point can
-    displace the top k. Otherwise R doubles (a few driver-side rounds
-    touching only cell ids / counts — never data rows).
+    displace the top k. Otherwise R grows geometrically (a few
+    driver-side rounds touching only cell ids / counts — never data rows).
 
 Ordering contract matches the reference: ascending exact distance,
 ties broken by candidate id (stable; reference argsort is index-stable,
