@@ -423,26 +423,17 @@ def karney_inverse(lat1, lon1, lat2, lon2, a: float = WGS84_A, f: float = WGS84_
     b2 = b2 * latsign
     # canonical: b1 <= 0, b1 <= b2 <= -b1, lam12 in [0, pi]
 
-    # (near-)equatorial pairs degrade the sigma parametrization of the
-    # general solver (sigma at both endpoints is asin(beta/cos(alpha0))
-    # with beta ~ cos(alpha0) ~ 0: catastrophic cancellation). Fix: snap
-    # such pairs onto the equator — but ONLY when the snap's own distance
-    # error is provably < 50 um. Error budget for snapping (b1,b2)->0:
-    #   - meridional component: b*|db| when lam12 ~ 0, quadratically
-    #     suppressed (b*db)^2/(2*a*lam12) once the east-west leg dominates
-    #   - path-height: the true path hugs lat~beta, a*lam12*beta^2/2
-    #   - antipodal shortening: over-pole paths start closer by a*beta
+    # Exactly-equatorial pairs degenerate the sigma parametrization of the
+    # general solver (sigma = asin(beta/cos(alpha0)) with beta = 0 exactly
+    # is branch-ambiguous), so snap ONLY the machine-equator: maxb < 1e-13
+    # rad. The snap's own worst-case error is first-order a*maxb < 1 um
+    # even in the antipodal regime, so no case-analysis budget is needed.
+    # All other near-equatorial pairs (incl. near-antipodal, where a
+    # round-1 budget heuristic cost 2 mm — see tests/test_kernels.py
+    # golden truths) go through the general solver, whose lambda-space
+    # secant interpolation below keeps them sub-um.
     maxb = np.maximum(np.abs(b1), np.abs(b2))
-    dbeta = np.abs(b1 - b2)
-    antipodal_lam = lam12 > (1.0 - f) * np.pi
-    merid_err = np.where(
-        lam12 > 1e-9,
-        (b * dbeta) ** 2 / (2.0 * a * np.maximum(lam12, 1e-9)),
-        b * dbeta,
-    )
-    height_err = a * lam12 * maxb * maxb / 2.0
-    anti_err = np.where(antipodal_lam, a * maxb, 0.0)
-    both_eq = (maxb < 2e-6) & ((merid_err + height_err + anti_err) < 5e-5)
+    both_eq = maxb < 1e-13
     b1 = np.where(both_eq, -1e-12, b1)
     b2 = np.where(both_eq, 0.0, b2)
 
@@ -485,8 +476,28 @@ def karney_inverse(lat1, lon1, lat2, lon2, a: float = WGS84_A, f: float = WGS84_
     _, sig1, sig2, sig12, eps_g, salp0, salp2, calp2 = _aux_eval(
         alp1, sbet1, cbet1, sbet2, cbet2, f, n, ep2, equal_beta
     )
-    c1g = _C1(eps_g)
-    s_gen = b * _A1(eps_g) * (sig12 + _sin_series(c1g, sig2, sig1))
+
+    def _arc_len(alp):
+        """s/b and lam12 at a trial alpha1 (for the secant step)."""
+        lam_t, g1, g2, g12, eg, *_ = _aux_eval(
+            alp, sbet1, cbet1, sbet2, cbet2, f, n, ep2, equal_beta
+        )
+        return lam_t, _A1(eg) * (g12 + _sin_series(_C1(eg), g2, g1))
+
+    # Secant step in (lambda, s) space. Near-antipodal roots sit within
+    # ~1 ulp of alpha1 = pi/2 where ds/dalpha1 reaches ~10^13 m/rad:
+    # float64 alpha1 granularity alone costs +-3 mm there. Both lambda
+    # and s are evaluated ulp-accurately at any representable alpha1
+    # (verified against 40-digit mpmath), and s(lambda) is smooth, so
+    # interpolating s between the final bracket endpoints at the target
+    # lambda removes the quantization error entirely (sub-um).
+    lam_lo, sb_lo = _arc_len(lo)
+    lam_hi, sb_hi = _arc_len(hi)
+    dlam = lam_hi - lam_lo
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t_int = np.where(dlam > 0.0, (lam12 - lam_lo) / np.where(dlam > 0.0, dlam, 1.0), 0.5)
+    t_int = np.clip(t_int, 0.0, 1.0)
+    s_gen = b * (sb_lo + t_int * (sb_hi - sb_lo))
 
     # --- assemble distances --------------------------------------------
     s = s_gen
