@@ -345,7 +345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_knn_gc(spark, sf_dir):
         kj = knn_join(_query_points(spark, sf_dir), _cand_points(spark, sf_dir),
-                      5, exact=False, c_lat="lat", c_lon="lon")
+                      5, exact=False, c_lat="lat", c_lon="lon", c_id="cand_id")
         return kj.select("query_id", "cand_id", _r0(F.col("dist")).alias("dist_m"))
 
     # --- geo: iterative kernels (rows-only) ----------------------------
@@ -383,7 +383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_knn_exact(spark, sf_dir):
         kj = knn_join(_query_points(spark, sf_dir),
                       _cand_points(spark, sf_dir).limit(500), 3,
-                      c_lat="lat", c_lon="lon")
+                      c_lat="lat", c_lon="lon", c_id="cand_id")
         return kj.select("query_id", "cand_id", _r0(F.col("dist")).alias("dist_m"))
 
     def q_point_in_polygon(spark, sf_dir):

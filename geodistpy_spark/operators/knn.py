@@ -1,149 +1,329 @@
-"""kNN queries: expanding cell-cover search with exact re-rank.
+"""kNN queries: density-seeded cell-cover search with exact re-rank.
 
 Engine rewrite of the reference's ``geodesic_knn`` (distance.py:463-540:
-full scan + argpartition top-k) into an expanding-radius cell-cover
-search with a ring-closure guarantee:
+full scan + argpartition top-k) into a cover-prefiltered search with a
+ring-closure guarantee:
 
-    search radius R covers ALL points within geodesic distance R
-    (grid.cell_cover is conservative) ⇒ once >= k candidates are found
-    inside the cover AND the k-th distance <= R, no uncovered point can
-    displace the top k. Otherwise R grows geometrically (a few
-    driver-side rounds touching only cell ids / counts — never data rows).
+    a cover of radius R contains ALL points within geodesic distance R
+    (grid cover math is conservative) => if >= k candidates are found at
+    distance <= R, no uncovered point can displace the top k.
 
-Ordering contract matches the reference: ascending exact distance,
-ties broken by candidate id (stable; reference argsort is index-stable,
-distance.py:533-537).
+Round-1 design ran up to 5 driver-synchronized rounds (cache +
+localCheckpoint + isEmpty per round ~ 10+ Spark jobs); this version is
+a FIXED 3-phase plan built lazily as one DAG:
+
+  0. one aggregation over candidates -> coarse per-cell count histogram,
+     collected driver-side (bounded: <= 4^HIST_RES cells) and turned into
+     an integral image. Also yields the candidate total for the k <= n
+     validation (reference distance.py:520-522).
+  1. per-query search radius from LOCAL density (expanding block sums on
+     the integral image, vectorized in one pandas UDF) -> variable-radius
+     cover join -> window top-k; a query closes when it has k in-disk
+     neighbors (ring closure).
+  2. unclosed queries retry at ``growth`` x radius (same candidate-side
+     exchange: Spark reuses the shuffle).
+  3. stragglers (typically none) fall back to an exact broadcast
+     cross-join, so termination and exactness are unconditional.
+
+Phases 2/3 see only queries that phase 1/2 could not close; at uniform
+density the per-query radius closes ~99% in phase 1. All three phases
+execute in ONE Spark job (lazy union), plus the phase-0 aggregation.
+
+Ordering contract matches the reference: ascending exact distance, ties
+broken by candidate id when ``c_id`` is given (stable; reference argsort
+is index-stable, distance.py:533-537), else by (lat, lon).
+
+Scale notes (100 TB): the histogram is a map-side-combined agg on an
+int key (4^6 distinct values) — one cheap pass; the join shuffles on
+cell id with AQE skew-join + optional salting; per-query covers are
+bounded by ``max_cover_cells`` regardless of how sparse a region is
+(unbounded-radius queries are caught by phase 3 instead of exploding
+the cover).
 """
 
 from __future__ import annotations
 
+import math
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .. import grid
 from ..constants import unit_factor
+from ..functions.expressions import cell_id_col, great_circle_m
 from ..functions.udfs import vincenty_udf
-from .radius import point_in_radius, radius_join
+
+EARTH_AREA_M2 = 5.10072e14
+GLOBE_M = 2.1e7
+HIST_RES = 6  # 64 x 64 = 4096 cells; dense int64 grid is 32 KB driver-side
+
+
+def _density_grid(candidates: DataFrame, c_lat: str, c_lon: str):
+    """(counts[n,n], total) from one aggregation over the candidates."""
+    n = grid.nx(HIST_RES)
+    rows = (
+        candidates.groupBy(cell_id_col(c_lat, c_lon, HIST_RES).alias("__c"))
+        .count().collect()
+    )
+    counts = np.zeros((n, n), dtype=np.int64)
+    for r in rows:
+        y, x = divmod(int(r["__c"]), n)
+        counts[y, x] = r["count"]
+    return counts, int(counts.sum())
+
+
+def _radius_estimator_udf(counts: np.ndarray, k: int, r_cap_m: float):
+    """Pandas UDF: (lat, lon) -> density-derived search radius (meters).
+
+    Expands square blocks on an integral image until >= 2k candidates are
+    inside, converts the local density to the radius of a disk expected
+    to hold 2k, then pads 1.5x. Clamped to [1 km, r_cap_m]; phases 2/3
+    correct any under-estimate, so this only has to be a good guess.
+    """
+    n = counts.shape[0]
+    # integral image with a zero row/col: block sums in O(1)
+    ii = np.zeros((n + 1, n + 1), dtype=np.int64)
+    np.cumsum(np.cumsum(counts, axis=0), axis=1, out=ii[1:, 1:])
+    cell_h_m = 180.0 / n * 110_600.0
+    target = 2 * k
+
+    @F.pandas_udf(T.DoubleType())
+    def _r_est(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        la = lat.to_numpy(dtype=np.float64)
+        lo = lon.to_numpy(dtype=np.float64)
+        x = np.clip((np.mod(lo + 180.0, 360.0) / 360.0 * n).astype(np.int64), 0, n - 1)
+        y = np.clip(((la + 90.0) / 180.0 * n).astype(np.int64), 0, n - 1)
+        cnt = np.zeros(len(la), dtype=np.int64)
+        blk = np.zeros(len(la), dtype=np.int64)
+        done = np.zeros(len(la), dtype=bool)
+        for s in range(n):
+            y0 = np.clip(y - s, 0, n); y1 = np.clip(y + s + 1, 0, n)
+            x0 = np.clip(x - s, 0, n); x1 = np.clip(x + s + 1, 0, n)
+            c = ii[y1, x1] - ii[y0, x1] - ii[y1, x0] + ii[y0, x0]
+            cnt = np.where(done, cnt, c)
+            blk = np.where(done, blk, (y1 - y0) * (x1 - x0))
+            done |= c >= target
+            if done.all():
+                break
+        # local density per m^2 (block area ~ cells * cell_h^2 * cos(lat))
+        area = blk * cell_h_m * cell_h_m * np.maximum(np.cos(np.radians(la)), 0.05)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = 1.5 * np.sqrt(target * area / (np.pi * np.maximum(cnt, 1)))
+        r = np.where(cnt == 0, r_cap_m, r)
+        return pd.Series(np.clip(r, 1_000.0, r_cap_m))
+
+    return _r_est
+
+
+def _cover_cells_var_udf(res: int, margin: float = 1.002):
+    """Pandas UDF: (lat, lon, radius_m) -> array<long> cover cells at
+    ``res`` — per-row radius variant of radius._cover_cells_udf, same
+    conservative spherical-cap bounding-box construction."""
+    n = grid.nx(res)
+    cell_w = 360.0 / n
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _cover(lat: pd.Series, lon: pd.Series, radius_m: pd.Series) -> pd.Series:
+        la = lat.to_numpy(dtype=np.float64)
+        lo = lon.to_numpy(dtype=np.float64)
+        sigma = np.minimum(radius_m.to_numpy(dtype=np.float64) * margin
+                           / grid.MIN_CURVATURE_RADIUS_M, np.pi)
+        sigma_deg = np.degrees(sigma)
+        lat_lo = np.maximum(la - sigma_deg, -90.0)
+        lat_hi = np.minimum(la + sigma_deg, 90.0)
+        y_lo = np.clip(np.floor((lat_lo + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
+        y_hi = np.clip(np.floor((lat_hi + 90.0 - 1e-12) / 180.0 * n), 0, n - 1).astype(np.int64)
+        pole = (np.abs(la) + sigma_deg) >= 90.0
+        with np.errstate(invalid="ignore"):
+            ratio = np.sin(sigma) / np.maximum(np.cos(np.radians(la)), 1e-15)
+        dlam = np.degrees(np.arcsin(np.minimum(ratio, 1.0)))
+        span = np.minimum(np.ceil(2.0 * dlam / cell_w).astype(np.int64) + 2, n)
+        span = np.where(pole | (sigma >= np.pi * 0.999), n, span)
+        lo_x = np.floor(np.mod(lo - dlam + 180.0, 360.0) / 360.0 * n).astype(np.int64)
+        lo_x = np.where(pole, 0, lo_x)
+        out = []
+        for i in range(len(la)):
+            ys = np.arange(y_lo[i], y_hi[i] + 1, dtype=np.int64)
+            xs = (lo_x[i] + np.arange(span[i], dtype=np.int64)) % n
+            out.append((ys[:, None] * n + xs[None, :]).ravel())
+        return pd.Series(out)
+
+    return _cover
+
+
+def _topk_in_radius(qr: DataFrame, cand: DataFrame, k: int, res: int,
+                    ellipsoid, exact: bool,
+                    q_id: str, c_lat: str, c_lon: str,
+                    order_tail, salt: int | None, out: str) -> DataFrame:
+    """Variable-radius cover join + per-query top-k with closure count.
+
+    ``qr`` carries (q_id, __qlat, __qlon, __r); output adds ``out``
+    (meters), __rn (rank) and __cnt (in-disk candidates, capped at
+    window evaluation) — a query is CLOSED iff __cnt >= k.
+    """
+    cov = _cover_cells_var_udf(res)
+    q = qr.withColumn("__cell", F.explode(cov("__qlat", "__qlon", "__r")))
+
+    if salt and salt > 1:
+        q = q.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+        c = cand.withColumn("__salt", F.pmod(F.hash(F.col(c_lat), F.col(c_lon)), F.lit(salt)))
+        join_keys = ["__cell", "__salt"]
+    else:
+        c = cand
+        join_keys = ["__cell"]
+
+    joined = q.join(c, on=join_keys, how="inner")
+    if exact:
+        d = vincenty_udf(ellipsoid, once=True)(F.col("__qlat"), F.col("__qlon"),
+                                               F.col(c_lat), F.col(c_lon))
+    else:
+        d = great_circle_m("__qlat", "__qlon", c_lat, c_lon)
+    w = Window.partitionBy(q_id).orderBy(F.col(out).asc(), *order_tail)
+    wc = Window.partitionBy(q_id)
+    return (
+        joined.withColumn(out, d)
+        .filter(F.col(out) <= F.col("__r"))
+        .drop("__cell", "__salt")
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__cnt", F.count(F.lit(1)).over(wc))
+    )
+
+
+def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
+             metric: str = "meter", ellipsoid="WGS-84", exact: bool = True,
+             q_id: str = "query_id", q_lat: str = "q_lat", q_lon: str = "q_lon",
+             c_lat: str = "lat", c_lon: str = "lon", c_id: str | None = None,
+             r0_m: float | None = None, growth: float = 6.0,
+             max_cover_cells: int = 4096,
+             salt: int | None = None, out: str = "dist") -> DataFrame:
+    """Many-to-many kNN join: for every query row, its k nearest
+    candidates by exact geodesic distance (``exact=False``: great-circle).
+
+    See module docstring for the 3-phase plan. ``r0_m`` overrides the
+    density-derived per-query radius with a constant. ``c_id`` gives the
+    deterministic tie-break column (recommended; matches the reference's
+    index-stable ordering).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    counts, n_cand = _density_grid(candidates, c_lat, c_lon)
+    if k > n_cand:
+        raise ValueError(
+            f"k={k} exceeds candidate count {n_cand} (reference contract: "
+            "distance.py:520-522)")
+
+    order_tail = [F.col(c_id).asc()] if c_id else [F.col(c_lat).asc(), F.col(c_lon).asc()]
+
+    # join resolution from the candidate-weighted mean density (the radius
+    # a typical query needs); covers stay ~3x3 for in-distribution queries
+    n_h = grid.nx(HIST_RES)
+    occupied = counts[counts > 0]
+    if r0_m is None and occupied.size:
+        # density each CANDIDATE sees (weighted by count) -> typical r
+        cell_area = EARTH_AREA_M2 / (n_h * n_h)  # coarse mean; fine for a log2 pick
+        mean_density = float((occupied.astype(np.float64) ** 2).sum()) / (
+            occupied.sum() * cell_area)
+        r_typ = 1.5 * math.sqrt(2.0 * k / (math.pi * mean_density))
+    else:
+        r_typ = r0_m if r0_m is not None else 100_000.0
+    r_typ = min(max(r_typ, 1_000.0), GLOBE_M)
+    res = grid.pick_resolution(r_typ)
+    # radius above which a cover at ``res`` would exceed max_cover_cells
+    span_cap = max(int(math.sqrt(max_cover_cells)), 3)
+    r_cap = min(span_cap / 2.0 * (2.0e7 / grid.nx(res)), GLOBE_M)
+
+    qr = queries.select(
+        F.col(q_id),
+        F.col(q_lat).alias("__qlat"),
+        F.col(q_lon).alias("__qlon"),
+    )
+    if r0_m is not None:
+        qr = qr.withColumn("__r", F.lit(min(float(r0_m), r_cap)))
+    else:
+        r_est = _radius_estimator_udf(counts, k, r_cap)
+        qr = qr.withColumn("__r", r_est("__qlat", "__qlon"))
+    # each phase's output feeds BOTH the result union and the next
+    # phase's open-set; the nondeterministic refine UDF blocks Catalyst
+    # subtree dedup, so cache the (small: O(queries x k)) intermediates
+    # to keep each phase single-execution
+    qr = qr.cache()
+
+    cand = candidates.withColumn("__cell", cell_id_col(c_lat, c_lon, res))
+    drop_cols = ["__rn", "__cnt", "__r", "__qlat", "__qlon"]
+
+    # phase 1: density-seeded radius
+    p1 = _topk_in_radius(qr, cand, k, res, ellipsoid, exact,
+                         q_id, c_lat, c_lon, order_tail, salt, out
+                         ).filter(F.col("__rn") <= k).cache()
+    closed1 = p1.filter(F.col("__cnt") >= k).drop(*drop_cols)
+    # open set = queries with < k in-disk rows (incl. ZERO rows, which
+    # never appear in p1 — hence the left join, not a semi-join)
+    p1s = p1.filter(F.col("__rn") == 1).select(q_id, F.col("__cnt").alias("__c1"))
+    qr2 = (
+        qr.join(p1s, on=q_id, how="left")
+        .filter(F.coalesce(F.col("__c1"), F.lit(0)) < k).drop("__c1")
+        .withColumn("__r", F.least(F.col("__r") * growth, F.lit(r_cap)))
+    )
+
+    # phase 2: growth x radius for the unclosed tail (same candidate-side
+    # exchange as phase 1 -> ReusedExchange, no second scan)
+    p2 = _topk_in_radius(qr2, cand, k, res, ellipsoid, exact,
+                         q_id, c_lat, c_lon, order_tail, salt, out
+                         ).filter(F.col("__rn") <= k).cache()
+    closed2 = p2.filter(F.col("__cnt") >= k).drop(*drop_cols)
+    p2s = p2.filter(F.col("__rn") == 1).select(q_id, F.col("__cnt").alias("__c2"))
+
+    # phase 3: exact fallback for stragglers (broadcast the tiny query
+    # side; unconditional correctness)
+    qr3 = (
+        qr2.join(p2s, on=q_id, how="left")
+        .filter(F.coalesce(F.col("__c2"), F.lit(0)) < k).drop("__c2")
+    )
+    if exact:
+        d3 = vincenty_udf(ellipsoid, once=True)(F.col("__qlat"), F.col("__qlon"),
+                                                F.col(c_lat), F.col(c_lon))
+    else:
+        d3 = great_circle_m("__qlat", "__qlon", c_lat, c_lon)
+    w3 = Window.partitionBy(q_id).orderBy(F.col(out).asc(), *order_tail)
+    p3 = (
+        F.broadcast(qr3.drop("__r")).crossJoin(candidates)
+        .withColumn(out, d3)
+        .withColumn("__rn", F.row_number().over(w3))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__qlat", "__qlon")
+    )
+
+    result = closed1.unionByName(closed2).unionByName(p3)
+    return result.withColumn(out, F.col(out) * unit_factor(metric))
 
 
 def geodesic_knn(df: DataFrame, point: tuple[float, float], k: int,
                  metric: str = "meter", ellipsoid="WGS-84",
                  lat_col: str = "lat", lon_col: str = "lon",
                  id_col: str | None = None,
-                 r0_m: float | None = None, max_rounds: int = 12,
+                 r0_m: float | None = None,
                  out: str = "dist") -> DataFrame:
     """k nearest rows to ``point`` by exact geodesic distance, sorted
-    ascending (k validated >= 1; reference distance.py:506-507).
+    ascending (reference contract distance.py:463-540 incl. the
+    k-validation at :520-522).
 
-    Expanding radius: R, 4R, 16R... each round is a cover-prefiltered
-    count; the exact top-k is computed only on the final (small) covered
-    subset. Worst case the cover grows to the whole globe, degrading
-    gracefully to the reference's full scan.
+    Thin wrapper over :func:`knn_join` with a single broadcast query row
+    — one plan, no per-round driver synchronization (round-1 version ran
+    the cover join twice per round and a full count for the seed).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    order = [F.col(out).asc()] + ([F.col(id_col).asc()] if id_col else [])
-
-    if r0_m is None:
-        import math
-
-        n_cand = df.count()
-        r0_m = 2.0 * math.sqrt(k * EARTH_AREA_M2 / (math.pi * max(n_cand, 1)))
-        r0_m = min(max(r0_m, 1_000.0), 2.1e7)
-    R = float(r0_m)
-    for _ in range(max_rounds):
-        cand = point_in_radius(df, point, R, metric="meter", ellipsoid=ellipsoid,
-                               lat_col=lat_col, lon_col=lon_col, out=out)
-        top = cand.orderBy(*order).limit(k).select(F.col(out)).collect()
-        if len(top) >= k and top[-1][0] <= R:
-            result = cand.orderBy(*order).limit(k)
-            return result.withColumn(out, F.col(out) * unit_factor(metric))
-        R *= 4.0
-        if R > 2.1e7:
-            break
-    # closure not reached within bounded rounds -> exact full scan
-    d = vincenty_udf(ellipsoid)(F.lit(float(point[0])), F.lit(float(point[1])),
-                                F.col(lat_col), F.col(lon_col))
-    full = df.withColumn(out, d)
-    return (
-        full.orderBy(*order).limit(k)
-        .withColumn(out, F.col(out) * unit_factor(metric))
+    clat, clon = float(point[0]), float(point[1])
+    spark = df.sparkSession
+    q = spark.createDataFrame([(0, clat, clon)], "__q long, __la double, __lo double")
+    res = knn_join(
+        q, df, k, metric=metric, ellipsoid=ellipsoid, exact=True,
+        q_id="__q", q_lat="__la", q_lon="__lo",
+        c_lat=lat_col, c_lon=lon_col, c_id=id_col, r0_m=r0_m, out=out,
     )
-
-
-EARTH_AREA_M2 = 5.10072e14
-
-
-def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
-             metric: str = "meter", ellipsoid="WGS-84", exact: bool = True,
-             q_id: str = "query_id", q_lat: str = "q_lat", q_lon: str = "q_lon",
-             c_lat: str = "lat", c_lon: str = "lon",
-             r0_m: float | None = None, max_rounds: int = 5,
-             growth: float = 8.0,
-             salt: int | None = None, out: str = "dist") -> DataFrame:
-    """Many-to-many kNN join: for every query row, its k nearest
-    candidates by exact geodesic distance.
-
-    Round-based expanding radius (R, growth*R, growth^2*R, ...): each round runs a
-    cover-prefiltered radius join for the still-unresolved queries, takes
-    per-query top-k with a ranking window, and resolves queries whose
-    k-th neighbor distance <= R (ring closure). The last round uses a
-    globe-sized radius, so termination and exactness are unconditional.
-
-    The per-round shuffle key is the cell id; AQE skew-join plus optional
-    ``salt`` handles dense urban cells (north rule).
-    """
-    if k < 1:
-        raise ValueError(f"k must be >= 1, got {k}")
-
-    if r0_m is None:
-        # expected k-th-NN radius under a uniform global density, with 2x
-        # slack: most queries close in round 1, dense clusters even earlier
-        n_cand = candidates.count()
-        import math
-
-        r0_m = 2.0 * math.sqrt(k * EARTH_AREA_M2 / (math.pi * max(n_cand, 1)))
-        r0_m = min(max(r0_m, 1_000.0), 2.1e7)
-
-    w = Window.partitionBy(q_id).orderBy(F.col(out).asc(), F.col(c_lat).asc(), F.col(c_lon).asc())
-    unresolved = queries.select(q_id, q_lat, q_lon)
-    resolved_parts: list[DataFrame] = []
-    R = float(r0_m)
-
-    for rnd in range(max_rounds):
-        last = rnd == max_rounds - 1 or R >= 2.1e7
-        radius = 2.1e7 if last else R
-        joined = radius_join(
-            unresolved, candidates, radius, metric="meter", ellipsoid=ellipsoid,
-            q_id=q_id, q_lat=q_lat, q_lon=q_lon, c_lat=c_lat, c_lon=c_lon,
-            salt=salt, exact=exact, out=out,
-        )
-        # cache: topk feeds both the closure test and the result union
-        topk = (
-            joined.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= k)
-        ).cache()
-        if last:
-            resolved_parts.append(topk.drop("__rn"))
-            break
-        # a query is closed if it has k neighbors and the k-th <= R
-        kth = topk.groupBy(q_id).agg(
-            F.count("*").alias("__cnt"), F.max(out).alias("__kth")
-        )
-        # both sides already hash-partitioned by q_id (window/groupBy) —
-        # these joins reuse that partitioning; AQE may still broadcast
-        closed_ids = kth.filter((F.col("__cnt") >= k) & (F.col("__kth") <= R)).select(q_id)
-        resolved_parts.append(
-            topk.join(closed_ids, on=q_id, how="left_semi").drop("__rn")
-        )
-        # localCheckpoint truncates lineage so later rounds don't recompute
-        # every earlier round's join
-        unresolved = unresolved.join(closed_ids, on=q_id, how="left_anti").localCheckpoint()
-        if unresolved.isEmpty():
-            break
-        R *= growth
-
-    result = resolved_parts[0]
-    for p in resolved_parts[1:]:
-        result = result.unionByName(p)
-    return result.withColumn(out, F.col(out) * unit_factor(metric))
+    order = [F.col(out).asc()] + ([F.col(id_col).asc()] if id_col else [])
+    return res.drop("__q").orderBy(*order)

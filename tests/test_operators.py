@@ -206,6 +206,41 @@ class TestKnn:
             got_d = np.sort(kj[kj.query_id == q.query_id].dist.values)
             assert np.allclose(got_d, exp_d, atol=1e-6)
 
+    def test_knn_join_duplicate_coords_tiebreak_by_id(self, spark):
+        # 6 candidates at the SAME point, ids shuffled: with c_id the
+        # result must pick the smallest ids deterministically (reference
+        # argsort is index-stable, distance.py:533-537)
+        cand = spark.createDataFrame(
+            [(cid, 10.0, 20.0) for cid in (31, 7, 19, 3, 11, 23)]
+            + [(99, 60.0, 60.0)],
+            "place_id long, lat double, lon double")
+        queries = spark.createDataFrame([(1, 10.1, 20.1)],
+                                        "query_id long, q_lat double, q_lon double")
+        for _ in range(2):  # determinism across runs
+            got = (knn_join(queries, cand, 3, c_id="place_id")
+                   .select("place_id").toPandas().place_id.tolist())
+            assert sorted(got) == [3, 7, 11]
+
+    def test_knn_join_k_exceeds_candidates_raises(self, spark):
+        cand = spark.createDataFrame([(1, 0.0, 0.0)], "place_id long, lat double, lon double")
+        queries = spark.createDataFrame([(1, 1.0, 1.0)],
+                                        "query_id long, q_lat double, q_lon double")
+        with pytest.raises(ValueError):
+            knn_join(queries, cand, 2)
+
+    def test_knn_join_sparse_straggler_phase3(self, spark, places, places_pd):
+        # a query in the middle of the Pacific with k larger than any
+        # phase-1/2 disk plausibly holds -> must still return exact top-k
+        queries = spark.createDataFrame([(1, -40.0, -140.0)],
+                                        "query_id long, q_lat double, q_lon double")
+        k = 40
+        got = knn_join(queries, places, k, c_id="place_id").toPandas()
+        assert len(got) == k
+        d = K.geodesic_inverse(np.full(len(places_pd), -40.0),
+                               np.full(len(places_pd), -140.0),
+                               places_pd.lat.values, places_pd.lon.values)
+        assert np.allclose(np.sort(got.dist.values), np.sort(d)[:k], atol=1e-6)
+
 
 class TestPolygons:
     def test_pip_vs_brute(self, places, polygons):
