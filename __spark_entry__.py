@@ -155,6 +155,10 @@ _SHINGLES = (
 )
 _N_SEEDS = 12
 _N_BANDS = 4
+_EMB_BANDS = 4   # hyperplane-LSH banding shared by query + oracle
+_EMB_BITS = 4
+_EMB_SEED = 42
+_EMB_DIM = 64    # embeddings.parquet vector width (all sf dirs)
 _STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
     "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "den"],
@@ -192,6 +196,103 @@ def _lsh_pairs_sql() -> str:
         "SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2 "
         "FROM bands a JOIN bands b ON a.band_key = b.band_key "
         "WHERE a.doc_id < b.doc_id"
+    )
+
+
+FIXTURE_POLYGONS = os.path.join(_REPO, "fixtures", "polygons.parquet")
+FIXTURE_RASTER = os.path.join(_REPO, "fixtures", "raster.parquet")
+
+
+def _posmod(x: str, m: str = "3.6e2") -> str:
+    """np.mod semantics (result in [0, m)) for possibly-negative doubles."""
+    return f"((({x}) % {m} + {m}) % {m})"
+
+
+def _pip_hits_sql(points_sql: str, pid: str) -> str:
+    """CTE chain computing (pt_id, poly_id) even-odd ray-cast hits —
+    exact SQL mirror of operators/polygons.py semantics: per-ring
+    ref-relative unwrap (cumulative, window sum over jump counts),
+    polar-cap closure through the nearer pole, point longitude mapped
+    into the ring's 360-degree window, horizontal edges skipped.
+    Arithmetic is identical double ops in both engines (no trig), so the
+    predicate is bit-reproducible.
+    """
+    fxp = f"read_parquet('{FIXTURE_POLYGONS}')"
+    rel = _posmod("v.vlon - rf.ref + 1.8e2")
+    plon_u = _posmod(f"p.lon - rf.ref + 1.8e2")
+    return (
+        f"WITH pts AS ({points_sql}), "
+        f"v0 AS (SELECT poly_id, CAST(generate_subscripts(ring, 1) AS BIGINT) AS idx, "
+        f"unnest(ring).lat AS vlat, unnest(ring).lon AS vlon FROM {fxp}), "
+        "refs AS (SELECT poly_id, vlon AS ref FROM v0 WHERE idx = 1), "
+        f"vrel AS (SELECT v.poly_id, v.idx, v.vlat, {rel} - 1.8e2 AS rlon "
+        "FROM v0 v JOIN refs rf ON rf.poly_id = v.poly_id), "
+        "vd AS (SELECT *, rlon - coalesce(lag(rlon) OVER "
+        "(PARTITION BY poly_id ORDER BY idx), rlon) AS dd FROM vrel), "
+        "u AS (SELECT poly_id, idx, vlat, rlon - 3.6e2 * "
+        "sum(CASE WHEN dd > 1.8e2 THEN 1 WHEN dd < -1.8e2 THEN -1 ELSE 0 END) "
+        "OVER (PARTITION BY poly_id ORDER BY idx) AS ulon FROM vd), "
+        "agg AS (SELECT poly_id, max(idx) AS n, avg(vlat) AS mlat, "
+        "arg_max(ulon, idx) AS ulast, arg_min(ulon, idx) AS u0 FROM u GROUP BY poly_id), "
+        f"agg2 AS (SELECT *, {_posmod('u0 - ulast + 1.8e2')} - 1.8e2 AS closing, "
+        "CASE WHEN mlat > 0e0 THEN 9e1 ELSE -9e1 END AS pole FROM agg), "
+        "verts AS (SELECT poly_id, idx, vlat, ulon FROM u "
+        "UNION ALL SELECT poly_id, n + 1, pole, ulast + closing FROM agg2 "
+        "WHERE abs(ulast - u0 + closing) > 1.8e2 "
+        "UNION ALL SELECT poly_id, n + 2, pole, u0 FROM agg2 "
+        "WHERE abs(ulast - u0 + closing) > 1.8e2), "
+        "vc AS (SELECT poly_id, count(*) AS nn, min(ulon) AS ring_min "
+        "FROM verts GROUP BY poly_id), "
+        "edges AS (SELECT a.poly_id, a.vlat AS yi, a.ulon AS xi, "
+        "b.vlat AS yj, b.ulon AS xj FROM verts a "
+        "JOIN vc ON vc.poly_id = a.poly_id "
+        "JOIN verts b ON b.poly_id = a.poly_id AND b.idx = (a.idx % vc.nn) + 1), "
+        f"crossings AS (SELECT p.{pid}, e.poly_id, "
+        "sum(CASE WHEN e.yi <> e.yj AND ((e.yi > p.lat) <> (e.yj > p.lat)) AND "
+        f"(vc.ring_min + {_posmod(f'({plon_u} - 1.8e2) - vc.ring_min')}) < "
+        "((e.xj - e.xi) * (p.lat - e.yi) / (e.yj - e.yi) + e.xi) "
+        "THEN 1 ELSE 0 END) AS nc "
+        "FROM pts p "
+        "JOIN edges e ON true "
+        "JOIN refs rf ON rf.poly_id = e.poly_id "
+        "JOIN vc ON vc.poly_id = e.poly_id "
+        f"GROUP BY p.{pid}, e.poly_id), "
+        f"pip_hits AS (SELECT {pid}, poly_id FROM crossings WHERE nc % 2 = 1)"
+    )
+
+
+def _emb_planes():
+    """The deterministic hyperplanes shared by embedding_near_pairs and
+    its oracle (same seed/order as textops.dedup.embedding_near_pairs)."""
+    import numpy as np
+
+    rng = np.random.default_rng(_EMB_SEED)
+    return rng.normal(0, 1, (_EMB_BANDS * _EMB_BITS, _EMB_DIM))
+
+
+def _emb_near_pairs_sql() -> str:
+    planes = _emb_planes()
+
+    def bit(p):
+        lits = ", ".join(repr(float(x)) for x in planes[p])
+        return (f"CASE WHEN list_dot_product(v, [{lits}]) >= 0e0 "
+                "THEN '1' ELSE '0' END")
+
+    band_rows = " UNION ALL ".join(
+        "SELECT vec_id, v, concat('{b}:', {bits}) AS band FROM c".format(
+            b=b, bits=", ".join(bit(b * _EMB_BITS + r) for r in range(_EMB_BITS)))
+        for b in range(_EMB_BANDS)
+    )
+    return (
+        "WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        f"bands AS ({band_rows}), "
+        "cand AS (SELECT DISTINCT a.vec_id AS id_1, b2.vec_id AS id_2 "
+        "FROM bands a JOIN bands b2 ON a.band = b2.band WHERE a.vec_id < b2.vec_id), "
+        "withv AS (SELECT cand.id_1, cand.id_2, "
+        "list_dot_product(c1.v, c2.v) / "
+        "(sqrt(list_dot_product(c1.v, c1.v)) * sqrt(list_dot_product(c2.v, c2.v))) AS cosine "
+        "FROM cand JOIN c c1 ON c1.vec_id = cand.id_1 JOIN c c2 ON c2.vec_id = cand.id_2) "
+        "SELECT id_1, id_2, round(cosine, 6) AS cos_r FROM withv WHERE cosine >= 3e-1"
     )
 
 
@@ -518,20 +619,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("id_1", "id_2", F.col("hamming").cast("long").alias("hamming"))
 
     def q_dimwise(spark, sf_dir):
+        # exact=False (great-circle) so the driver can oracle-check the
+        # full relation; the Vincenty kernel path is gated separately by
+        # vincenty_pairs + the pytest golden-truth table
         from geodistpy_spark.operators import geodist_dimwise
 
         q = _query_points(spark, sf_dir).select(
             F.col("query_id").alias("id"), F.col("q_lat").alias("lat"),
             F.col("q_lon").alias("lon"),
             (F.col("query_id") % 7).cast("double").alias("feat"))
-        out = geodist_dimwise(q, "id", "lat", "lon", ["feat"])
+        out = geodist_dimwise(q, "id", "lat", "lon", ["feat"], exact=False)
         return out.select("id_1", "id_2", _r0(F.col("dist_m")).alias("dist_m"), "d_feat")
+
+    def q_dimwise_haversine(spark, sf_dir):
+        from geodistpy_spark.operators import geodist_dimwise_haversine
+
+        q = _query_points(spark, sf_dir).select(
+            F.col("query_id").alias("id"), F.col("q_lat").alias("lat"),
+            F.col("q_lon").alias("lon"),
+            (F.col("query_id") % 7).cast("double").alias("feat"))
+        out = geodist_dimwise_haversine(q, "id", "lat", "lon", ["feat"])
+        # report sqrt meters: the squared values reach 4e14, where JVM vs
+        # libm trig ulp differences exceed integer rounding
+        return out.select(
+            "id_1", "id_2",
+            _r0(F.sqrt("sq_lat")).alias("hv_lat_m"),
+            _r0(F.sqrt("sq_lon")).alias("hv_lon_m"),
+            _r0(F.sqrt("sq_feat")).alias("d_feat_abs"))
 
     def q_embedding_near_pairs(spark, sf_dir):
         from geodistpy_spark.textops import embedding_near_pairs
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        out = embedding_near_pairs(emb, threshold=0.3, n_planes=6)
+        out = embedding_near_pairs(emb, threshold=0.3, n_bands=_EMB_BANDS,
+                                   band_bits=_EMB_BITS, seed=_EMB_SEED)
         return out.select("id_1", "id_2", F.round("cosine", 6).alias("cos_r"))
 
     def q_rolling_fingerprints(spark, sf_dir):
@@ -596,6 +717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_join_salted": q_radius_join_salted,
         "simhash_near_pairs": q_simhash_near_pairs,
         "dimwise": q_dimwise,
+        "dimwise_haversine": q_dimwise_haversine,
         "embedding_near_pairs": q_embedding_near_pairs,
         "rolling_fingerprints": q_rolling_fingerprints,
     }
@@ -803,19 +925,68 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT q.query_id, c.cand_id, round({gc_q}, 0) AS dist_m "
             f"FROM ({_QRY_SQL}) q, ({_CAND_SQL}) c WHERE {gc_q} <= 8e5"
         ),
+        # brute-force ground truth (NOT a banding mirror): the pigeonhole
+        # banding in simhash_near_pairs guarantees exact recall, so the
+        # oracle verifies it against ALL pairs within the distance
         "simhash_near_pairs": (
             f"WITH t AS (SELECT doc_id, unnest({_WORDS}) AS tok FROM documents), "
             f"h AS (SELECT doc_id, CAST({th_expr} AS BIGINT) AS th FROM t), "
             f"b AS (SELECT doc_id, {sim_sums} FROM h GROUP BY doc_id), "
-            f"sim AS (SELECT doc_id, CAST({sim_val} AS BIGINT) AS simhash FROM b), "
-            "bands AS (SELECT doc_id, simhash, concat_ws(':', 'lo', CAST(simhash % 256 AS VARCHAR)) AS band FROM sim "
-            "UNION ALL SELECT doc_id, simhash, concat_ws(':', 'hi', CAST(simhash // 256 AS VARCHAR)) AS band FROM sim), "
-            "cand AS (SELECT DISTINCT a.doc_id AS id_1, a.simhash AS sh_1, "
-            "b2.doc_id AS id_2, b2.simhash AS sh_2 FROM bands a JOIN bands b2 "
-            "ON a.band = b2.band WHERE a.doc_id < b2.doc_id) "
-            "SELECT id_1, id_2, CAST(bit_count(xor(sh_1, sh_2)) AS BIGINT) AS hamming "
-            "FROM cand WHERE bit_count(xor(sh_1, sh_2)) <= 3"
+            f"sim AS (SELECT doc_id, CAST({sim_val} AS BIGINT) AS simhash FROM b) "
+            "SELECT a.doc_id AS id_1, b2.doc_id AS id_2, "
+            "CAST(bit_count(xor(a.simhash, b2.simhash)) AS BIGINT) AS hamming "
+            "FROM sim a JOIN sim b2 ON a.doc_id < b2.doc_id "
+            "WHERE bit_count(xor(a.simhash, b2.simhash)) <= 3"
         ),
+        "point_in_polygon": (
+            f"{_pip_hits_sql(_CAND_SQL, 'cand_id')} "
+            "SELECT cand_id, poly_id FROM pip_hits"
+        ),
+        "zonal_stats": (
+            _pip_hits_sql(
+                f"SELECT tile_id, lat, lon, value FROM read_parquet('{FIXTURE_RASTER}')",
+                "tile_id",
+            )
+            + ", tiles AS (SELECT h.poly_id, p.value FROM pip_hits h "
+            "JOIN pts p ON p.tile_id = h.tile_id) "
+            "SELECT poly_id, count(*) AS n_tiles, round(sum(value), 6) AS sum_v "
+            "FROM tiles GROUP BY poly_id"
+        ),
+        "dimwise": (
+            f"SELECT a.query_id AS id_1, b.query_id AS id_2, round({gc_m}, 0) AS dist_m, "
+            "b.feat - a.feat AS d_feat "
+            f"FROM (SELECT query_id, q_lat AS lat, q_lon AS lon, "
+            f"CAST(query_id % 7 AS DOUBLE) AS feat FROM ({_QRY_SQL})) a, "
+            f"(SELECT query_id, q_lat AS lat, q_lon AS lon, "
+            f"CAST(query_id % 7 AS DOUBLE) AS feat FROM ({_QRY_SQL})) b"
+        ),
+        "dimwise_haversine": (
+            "WITH q AS (SELECT query_id AS id, q_lat AS lat, q_lon AS lon, "
+            f"CAST(query_id % 7 AS DOUBLE) AS feat FROM ({_QRY_SQL})) "
+            "SELECT a.id AS id_1, b.id AS id_2, "
+            "round(2e0 * 6.371009e6 * asin(abs(sin(abs(radians(a.lat - b.lat)) / 2e0))), 0) AS hv_lat_m, "
+            "round(2e0 * 6.371009e6 * asin(sqrt((1e0 "
+            "- sin(abs(radians(a.lat - b.lat)) / 2e0) * sin(abs(radians(a.lat - b.lat)) / 2e0) "
+            "- sin(radians(a.lat + b.lat) / 2e0) * sin(radians(a.lat + b.lat) / 2e0)) "
+            "* sin(abs(radians(a.lon - b.lon)) / 2e0) * sin(abs(radians(a.lon - b.lon)) / 2e0))), 0) AS hv_lon_m, "
+            "round(abs(b.feat - a.feat), 0) AS d_feat_abs "
+            "FROM q a, q b"
+        ),
+        "rolling_fingerprints": (
+            f"WITH toks AS (SELECT doc_id, {_WORDS} AS words FROM documents), "
+            "sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
+            "generate_series(1, greatest(len(words) - 3, 0)), "
+            "i -> array_to_string(words[i:i+3], ' ')))) AS shingle FROM toks), "
+            "fps AS (SELECT doc_id, CAST("
+            + " + ".join(
+                f"(instr('0123456789abcdef', substr(md5(shingle), {j + 1}, 1)) - 1) "
+                f"* {16 ** (11 - j)}"
+                for j in range(12)
+            )
+            + " AS BIGINT) AS fp FROM sh) "
+            "SELECT DISTINCT doc_id, fp FROM fps WHERE fp % 8 = 0"
+        ),
+        "embedding_near_pairs": _emb_near_pairs_sql(),
         "sessionize": (
             "WITH o AS (SELECT user_id, ts, "
             "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts "

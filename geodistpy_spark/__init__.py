@@ -33,7 +33,8 @@ def __getattr__(name):
     _OPERATOR_NAMES = {
         "geodist", "geodist_matrix", "geodist_to_many", "greatcircle",
         "greatcircle_matrix", "haversine_dist", "bearing", "destination",
-        "interpolate", "midpoint", "geodist_dimwise", "point_in_radius",
+        "interpolate", "midpoint", "geodist_dimwise", "geodist_dimwise_haversine",
+        "geodist_dimwise_harvesine", "point_in_radius",
         "radius_join", "geodesic_knn", "knn_join", "point_in_polygon_join",
         "zonal_stats",
     }

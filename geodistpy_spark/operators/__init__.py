@@ -3,6 +3,8 @@ from .distances import (
     destination,
     geodist,
     geodist_dimwise,
+    geodist_dimwise_harvesine,
+    geodist_dimwise_haversine,
     geodist_matrix,
     geodist_to_many,
     greatcircle,
@@ -16,7 +18,8 @@ from .polygons import point_in_polygon_join, zonal_stats
 from .radius import point_in_radius, radius_join
 
 __all__ = [
-    "bearing", "destination", "geodist", "geodist_dimwise", "geodist_matrix",
+    "bearing", "destination", "geodist", "geodist_dimwise",
+    "geodist_dimwise_haversine", "geodist_dimwise_harvesine", "geodist_matrix",
     "geodist_to_many", "greatcircle", "greatcircle_matrix", "haversine_dist", "interpolate",
     "midpoint", "geodesic_knn", "knn_join", "point_in_polygon_join",
     "zonal_stats", "point_in_radius", "radius_join",

@@ -202,10 +202,13 @@ def midpoint(df: DataFrame, lat1: str, lon1: str, lat2: str, lon2: str,
 
 
 def geodist_dimwise(df: DataFrame, id_col: str, lat_col: str, lon_col: str,
-                    feature_cols: list[str], ellipsoid="WGS-84") -> DataFrame:
+                    feature_cols: list[str], ellipsoid="WGS-84",
+                    exact: bool = True) -> DataFrame:
     """Pairwise combined-geodesic + per-extra-dimension signed Euclidean
     diffs (reference ``geodist_dimwise``, geodesic.py:386-428) as an
-    (id_1, id_2, dist_m, d_<feat>...) relation.
+    (id_1, id_2, dist_m, d_<feat>...) relation. ``exact=False`` swaps the
+    Vincenty kernel for the codegen great-circle (closed-form, hence
+    oracle-checkable — same fast/exact split as geodist_matrix).
     """
     a = df.select(F.col(id_col).alias("id_1"), F.col(lat_col).alias("lat_1"),
                   F.col(lon_col).alias("lon_1"),
@@ -213,10 +216,51 @@ def geodist_dimwise(df: DataFrame, id_col: str, lat_col: str, lon_col: str,
     b = df.select(F.col(id_col).alias("id_2"), F.col(lat_col).alias("lat_2"),
                   F.col(lon_col).alias("lon_2"),
                   *[F.col(c).alias(f"{c}_2") for c in feature_cols])
-    udf = vincenty_udf(ellipsoid)
     pairs = a.crossJoin(b)
+    if exact:
+        d = vincenty_udf(ellipsoid)(F.col("lat_1"), F.col("lon_1"),
+                                    F.col("lat_2"), F.col("lon_2"))
+    else:
+        d = great_circle_m("lat_1", "lon_1", "lat_2", "lon_2")
     return pairs.select(
-        "id_1", "id_2",
-        udf(F.col("lat_1"), F.col("lon_1"), F.col("lat_2"), F.col("lon_2")).alias("dist_m"),
+        "id_1", "id_2", d.alias("dist_m"),
         *[(F.col(f"{c}_2") - F.col(f"{c}_1")).alias(f"d_{c}") for c in feature_cols],
     )
+
+
+def geodist_dimwise_haversine(df: DataFrame, id_col: str, lat_col: str,
+                              lon_col: str, feature_cols: list[str] = (),
+                              radius: float = 6_371_009.0) -> DataFrame:
+    """Per-dimension SQUARED pairwise distances (reference
+    ``geodist_dimwise_harvesine``, geodesic.py:856-919): the lat and lon
+    dimensions get squared haversine meters on the R=6371009 sphere —
+    the lon term uses the reference's mixed-latitude correction factor
+    (1 - sin^2(dlat/2) - sin^2((lat1+lat2)/2)) — and every extra feature
+    dimension gets its squared Euclidean diff. Relation form
+    (id_1, id_2, sq_lat, sq_lon, sq_<feat>...), pure codegen, no UDFs.
+    """
+    a = df.select(F.col(id_col).alias("id_1"), F.col(lat_col).alias("lat_1"),
+                  F.col(lon_col).alias("lon_1"),
+                  *[F.col(c).alias(f"{c}_1") for c in feature_cols])
+    b = df.select(F.col(id_col).alias("id_2"), F.col(lat_col).alias("lat_2"),
+                  F.col(lon_col).alias("lon_2"),
+                  *[F.col(c).alias(f"{c}_2") for c in feature_cols])
+    pairs = a.crossJoin(b)
+    dlat2 = F.abs(F.radians(F.col("lat_1") - F.col("lat_2"))) / 2.0
+    dlng2 = F.abs(F.radians(F.col("lon_1") - F.col("lon_2"))) / 2.0
+    slat = F.sin(dlat2)
+    sq_lat = F.pow(F.lit(2.0 * radius) * F.asin(F.abs(slat)), F.lit(2.0))
+    ssum = F.sin(F.radians(F.col("lat_1") + F.col("lat_2")) / 2.0)
+    inner = (F.lit(1.0) - slat * slat - ssum * ssum) * F.pow(F.sin(dlng2), F.lit(2.0))
+    sq_lon = F.pow(F.lit(2.0 * radius) * F.asin(F.sqrt(inner)), F.lit(2.0))
+    return pairs.select(
+        "id_1", "id_2",
+        sq_lat.alias("sq_lat"),
+        sq_lon.alias("sq_lon"),
+        *[F.pow(F.col(f"{c}_2") - F.col(f"{c}_1"), F.lit(2.0)).alias(f"sq_{c}")
+          for c in feature_cols],
+    )
+
+
+# reference-spelling alias (geodesic.py:856 names it "harvesine")
+geodist_dimwise_harvesine = geodist_dimwise_haversine

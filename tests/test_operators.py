@@ -242,6 +242,35 @@ class TestKnn:
         assert np.allclose(np.sort(got.dist.values), np.sort(d)[:k], atol=1e-6)
 
 
+class TestDimwiseHaversine:
+    def test_matches_reference_formula(self, spark):
+        # reference geodesic.py:856-919 numpy semantics, mirrored here
+        import numpy as np
+        from geodistpy_spark.operators import geodist_dimwise_haversine
+
+        X = np.array([[52.52, 13.405, 100.0], [48.8566, 2.3522, 200.0],
+                      [40.7128, -74.006, 300.0], [-33.8688, 151.2093, 50.0]])
+        R = 6371009.0
+        dlat = np.abs(np.radians(X[:, None, 0] - X[None, :, 0]))
+        dlng = np.abs(np.radians(X[:, None, 1] - X[None, :, 1]))
+        sq0 = (R * 2 * np.arcsin(np.abs(np.sin(dlat / 2)))) ** 2
+        sq1 = (R * 2 * np.arcsin(np.sqrt(
+            (1 - np.sin(dlat / 2) ** 2
+             - np.sin(np.radians(X[:, None, 0] + X[None, :, 0]) / 2) ** 2)
+            * np.sin(dlng / 2) ** 2))) ** 2
+        sq2 = (X[:, None, 2] - X[None, :, 2]) ** 2
+
+        df = spark.createDataFrame(
+            [(i, *map(float, X[i])) for i in range(len(X))],
+            "id long, lat double, lon double, value double")
+        got = geodist_dimwise_haversine(df, "id", "lat", "lon", ["value"]).toPandas()
+        for _, r in got.iterrows():
+            i, j = int(r.id_1), int(r.id_2)
+            assert abs(r.sq_lat - sq0[i, j]) < 1e-4 * max(sq0[i, j], 1)
+            assert abs(r.sq_lon - sq1[i, j]) < 1e-4 * max(sq1[i, j], 1)
+            assert abs(r.sq_value - sq2[i, j]) < 1e-9
+
+
 class TestPolygons:
     def test_pip_vs_brute(self, places, polygons):
         from geodistpy_spark.operators.polygons import (

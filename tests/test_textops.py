@@ -67,6 +67,56 @@ class TestDedup:
         assert (1, 2) in set(zip(near.id_1, near.id_2))
         assert (near.hamming >= 0).all()
 
+    def test_simhash_pigeonhole_banding_exact_recall(self, spark):
+        # brute-force ground truth over 80 short docs: the pigeonhole
+        # banding (max_hamming+1 segments) must find EVERY pair within
+        # the distance — the round-1 two-half banding missed pairs whose
+        # differing bits straddled both halves
+        import itertools
+        words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+                 "eta", "theta", "iota", "kappa"]
+        rows = [(i, " ".join(words[j] for j in
+                             [(i + s) % 10 for s in (0, 1, 2, 3, 4)]) +
+                 f" tail{i % 7}") for i in range(80)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        for max_h in (2, 3):
+            got = simhash_near_pairs(df, max_hamming=max_h).toPandas()
+            got_pairs = set(zip(got.id_1, got.id_2))
+            sh = simhash(df).toPandas().set_index("doc_id").simhash
+            exp = {
+                (a, b)
+                for a, b in itertools.combinations(sorted(sh.index), 2)
+                if bin(int(sh[a]) ^ int(sh[b])).count("1") <= max_h
+            }
+            assert got_pairs == exp, (max_h, exp - got_pairs, got_pairs - exp)
+
+    def test_embedding_near_pairs_banded_recall(self, spark):
+        # planted near-dups: base vectors + tiny perturbations (cos>0.95);
+        # banded LSH must recover >= 95% of the brute-force pairs
+        rng = np.random.default_rng(7)
+        base = rng.normal(0, 1, (40, 16))
+        rows = []
+        vid = 0
+        for i in range(40):
+            rows.append((vid, base[i].tolist())); vid += 1
+            if i % 2 == 0:  # plant a near-dup
+                pert = base[i] + rng.normal(0, 0.02, 16)
+                rows.append((vid, pert.tolist())); vid += 1
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        from geodistpy_spark.textops import embedding_near_pairs
+
+        got = embedding_near_pairs(emb, threshold=0.95).toPandas()
+        got_pairs = set(zip(got.id_1, got.id_2))
+        V = np.array([r[1] for r in rows])
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        cos = Vn @ Vn.T
+        exp = {(a, b) for a in range(len(rows)) for b in range(a + 1, len(rows))
+               if cos[a, b] >= 0.95}
+        assert len(exp) >= 15          # the plant worked
+        recall = len(got_pairs & exp) / len(exp)
+        assert recall >= 0.95, (recall, exp - got_pairs)
+        assert got_pairs <= exp        # refine step guarantees precision 1.0
+
 
 class TestAnn:
     def test_cosine_topk_matches_numpy(self, spark, fixture_paths):
