@@ -667,7 +667,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _fixture_docs(spark)
         mf = media_feature_pipeline(docs)
         return mf.select("doc_id", F.col("span_idx").cast("long").alias("span_idx"),
-                         "width", "height", "n_bytes")
+                         "format",
+                         F.col("width").cast("long").alias("width"),
+                         F.col("height").cast("long").alias("height"), "n_bytes")
 
     def q_ivf_topk(spark, sf_dir):
         from geodistpy_spark.textops import ivf_topk
@@ -987,6 +989,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT doc_id, fp FROM fps WHERE fp % 8 = 0"
         ),
         "embedding_near_pairs": _emb_near_pairs_sql(),
+        # media decode mirror: the fetch stub synthesizes payloads whose
+        # PNG/BMP header dimensions (and the raw path's pseudo-dims) are
+        # functions of sha256(media_ref) — recomputable from the hex here
+        "media_features": (
+            f"{span_cte}, m AS (SELECT doc_id, span_idx, sha256(span.media_ref) AS sx "
+            "FROM s WHERE span.kind = 'media'), "
+            "b AS (SELECT doc_id, span_idx, "
+            + ", ".join(
+                f"((instr('0123456789abcdef', substr(sx, {2 * i + 1}, 1)) - 1) * 16 + "
+                f"(instr('0123456789abcdef', substr(sx, {2 * i + 2}, 1)) - 1)) AS b{i}"
+                for i in range(5)
+            )
+            + " FROM m) "
+            "SELECT doc_id, span_idx, "
+            "CASE b0 % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'raw' END AS format, "
+            "CAST(CASE b0 % 3 WHEN 2 THEN (b0 + 256 * b1) % 1920 + 16 "
+            "ELSE 16 + (b1 + 256 * b2) % 2033 END AS BIGINT) AS width, "
+            "CAST(CASE b0 % 3 WHEN 2 THEN (b2 + 256 * b3) % 1080 + 16 "
+            "ELSE 16 + (b3 + 256 * b4) % 1525 END AS BIGINT) AS height, "
+            "CAST(128 AS BIGINT) AS n_bytes FROM b"
+        ),
         "sessionize": (
             "WITH o AS (SELECT user_id, ts, "
             "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts "

@@ -133,7 +133,7 @@ MIN_CURVATURE_RADIUS_M = 6_330_000.0
 
 
 def cell_cover(lat: float, lon: float, radius_m: float, res: int | None = None,
-               margin: float = 1.002) -> tuple[int, list[int]]:
+               margin: float = 1.002, max_cover: int = 2048) -> tuple[int, list[int]]:
     """Conservative disk cover: every point whose geodesic distance to
     (lat, lon) is <= radius_m lies in one of the returned cells.
 
@@ -143,35 +143,51 @@ def cell_cover(lat: float, lon: float, radius_m: float, res: int | None = None,
     *minimum* curvature radius of the ellipsoid (over-estimates the cap,
     never under). Verified empirically against brute-force geodesic
     distances in tests (tests/test_grid.py).
+
+    When ``res`` is not forced by the caller, the resolution is coarsened
+    until the cover fits in ``max_cover`` cells — a small polar cap
+    otherwise degenerates to full 2^res-wide longitude rows (e.g. 1 km at
+    lat 89.99 was ~16k cells at res 14), which would bloat the pushed-down
+    IN predicate. Coarser cells keep the cover conservative; the exact
+    refine absorbs the extra candidates.
     """
-    if res is None:
+    auto = res is None
+    if auto:
         res = pick_resolution(radius_m)
-    n = nx(res)
-    sigma = min(radius_m * margin / MIN_CURVATURE_RADIUS_M, math.pi)
-    sigma_deg = math.degrees(sigma)
 
-    lat_lo = max(lat - sigma_deg, -90.0)
-    lat_hi = min(lat + sigma_deg, 90.0)
-    y_lo = int(math.floor((lat_lo + 90.0) / 180.0 * n))
-    y_hi = int(math.floor((lat_hi + 90.0 - 1e-12) / 180.0 * n))
-    y_lo = min(max(y_lo, 0), n - 1)
-    y_hi = min(max(y_hi, 0), n - 1)
+    while True:
+        n = nx(res)
+        sigma = min(radius_m * margin / MIN_CURVATURE_RADIUS_M, math.pi)
+        sigma_deg = math.degrees(sigma)
 
-    pole_in_cap = (abs(lat) + sigma_deg) >= 90.0
-    cells: list[int] = []
-    if pole_in_cap:
+        lat_lo = max(lat - sigma_deg, -90.0)
+        lat_hi = min(lat + sigma_deg, 90.0)
+        y_lo = int(math.floor((lat_lo + 90.0) / 180.0 * n))
+        y_hi = int(math.floor((lat_hi + 90.0 - 1e-12) / 180.0 * n))
+        y_lo = min(max(y_lo, 0), n - 1)
+        y_hi = min(max(y_hi, 0), n - 1)
+        rows = y_hi - y_lo + 1
+
+        pole_in_cap = (abs(lat) + sigma_deg) >= 90.0
+        if pole_in_cap:
+            span = n
+            lo_x = 0
+            dlam_deg = 180.0
+        else:
+            sin_ratio = math.sin(sigma) / max(math.cos(math.radians(lat)), 1e-15)
+            dlam_deg = math.degrees(math.asin(min(sin_ratio, 1.0)))
+            cell_w = 360.0 / n
+            span = min(int(math.ceil(2.0 * dlam_deg / cell_w)) + 2, n)
+            lo_x = int(math.floor(((lon - dlam_deg + 180.0) % 360.0) / 360.0 * n))
+
+        if auto and res > 0 and rows * span > max_cover:
+            res -= 1
+            continue
+
+        cells: list[int] = []
         for y in range(y_lo, y_hi + 1):
-            cells.extend(y * n + x for x in range(n))
-        return res, cells
-
-    sin_ratio = math.sin(sigma) / max(math.cos(math.radians(lat)), 1e-15)
-    dlam_deg = math.degrees(math.asin(min(sin_ratio, 1.0)))
-    cell_w = 360.0 / n
-    span = min(int(math.ceil(2.0 * dlam_deg / cell_w)) + 2, n)
-    lo_x = int(math.floor(((lon - dlam_deg + 180.0) % 360.0) / 360.0 * n))
-    for y in range(y_lo, y_hi + 1):
-        cells.extend(y * n + ((lo_x + i) % n) for i in range(span))
-    return res, sorted(set(cells))
+            cells.extend(y * n + ((lo_x + i) % n) for i in range(span))
+        return res, sorted(set(cells))
 
 
 def cover_min_exterior_distance(lat: float, lon: float, radius_m: float) -> float:

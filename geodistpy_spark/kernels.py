@@ -245,21 +245,58 @@ def vincenty_direct(lat1, lon1, az1_deg, s_m, a: float = WGS84_A, f: float = WGS
     A = 1.0 + (u2 / 16384.0) * (4096.0 + u2 * (-768.0 + u2 * (320.0 - 175.0 * u2)))
     B = (u2 / 1024.0) * (256.0 + u2 * (-128.0 + u2 * (74.0 - 47.0 * u2)))
 
-    sigma = s / (b * A)
-    for _ in range(_MAX_ITER):
-        cos2sm = np.cos(2.0 * sigma1 + sigma)
-        ss, cs = np.sin(sigma), np.cos(sigma)
-        dsig = B * ss * (
-            cos2sm + (B / 4.0) * (
-                cs * (-1.0 + 2.0 * cos2sm ** 2)
-                - (B / 6.0) * cos2sm * (-3.0 + 4.0 * ss ** 2) * (-3.0 + 4.0 * cos2sm ** 2)
+    def _dsig(sig):
+        c2 = np.cos(2.0 * sigma1 + sig)
+        sn, cn = np.sin(sig), np.cos(sig)
+        return B * sn * (
+            c2 + (B / 4.0) * (
+                cn * (-1.0 + 2.0 * c2 ** 2)
+                - (B / 6.0) * c2 * (-3.0 + 4.0 * sn ** 2) * (-3.0 + 4.0 * c2 ** 2)
             )
         )
-        sigma_new = s / (b * A) + dsig
-        if np.all(np.abs(sigma_new - sigma) < _CONV):
-            sigma = sigma_new
-            break
+
+    target = s / (b * A)
+    sigma = np.asarray(target, dtype=np.float64).copy()
+    converged = np.zeros_like(sigma, dtype=bool)
+    for _ in range(_MAX_ITER):
+        sigma_new = target + _dsig(sigma)
+        converged = np.abs(sigma_new - sigma) < _CONV
         sigma = sigma_new
+        if converged.all():
+            break
+    # Non-convergence sentinel + rescue (reference contract: the direct
+    # kernel returns nan on non-convergence and a fallback recomputes,
+    # geodesic.py:643-644 + distance.py's geographiclib rescue). The
+    # fixed-point map sigma -> target + dsig(sigma) has derivative
+    # |dsig'| <= ~B(1+B) << 1, so f(sig) = sig - dsig(sig) - target is
+    # strictly increasing: lanes the iteration failed to settle are
+    # resolved exactly by bisection on sigma in [0, target + |B|-slack].
+    bad = ~converged
+    if bad.any():
+        lo = np.zeros(int(bad.sum()))
+        hi = np.abs(target[bad]) + 0.1
+        tgt = target[bad]
+        s1b = sigma1[bad] if np.ndim(sigma1) else sigma1
+        Bb = B[bad] if np.ndim(B) else B
+
+        def _f(sig):
+            c2 = np.cos(2.0 * s1b + sig)
+            sn, cn = np.sin(sig), np.cos(sig)
+            d = Bb * sn * (
+                c2 + (Bb / 4.0) * (
+                    cn * (-1.0 + 2.0 * c2 ** 2)
+                    - (Bb / 6.0) * c2 * (-3.0 + 4.0 * sn ** 2) * (-3.0 + 4.0 * c2 ** 2)
+                )
+            )
+            return sig - d - tgt
+
+        for _ in range(80):
+            mid = 0.5 * (lo + hi)
+            less = _f(mid) < 0.0
+            lo = np.where(less, mid, lo)
+            hi = np.where(less, hi, mid)
+        sigma = sigma.copy()
+        sigma[bad] = 0.5 * (lo + hi)
 
     cos2sm = np.cos(2.0 * sigma1 + sigma)
     ss, cs = np.sin(sigma), np.cos(sigma)

@@ -173,15 +173,22 @@ def point_in_polygon_join(points: DataFrame, polygons: DataFrame,
     res, pairs, prepped = polygon_cover_pairs(polys)
     pairs_df = spark.createDataFrame(pairs, schema="__cell long, poly_id long")
 
-    pts = points.withColumn("__cell", cell_id_col(lat_col, lon_col, res))
+    # surrogate row id: the left join below must be per-ROW (duplicate
+    # coordinates would multiply and null-valued columns never equal
+    # themselves under a join on all point columns)
+    left = how == "left"
+    pts = points
+    if left:
+        pts = pts.withColumn("__pt", F.monotonically_increasing_id())
+    pts = pts.withColumn("__cell", cell_id_col(lat_col, lon_col, res))
     cand = pts.join(F.broadcast(pairs_df), on="__cell", how="inner")
     refine = _pip_refine_udf(prepped)
     hit = cand.filter(refine(F.col(lat_col), F.col(lon_col), F.col("poly_id"))).drop("__cell")
     if how == "inner":
         return hit
-    if how == "left":
-        return points.join(hit.select(*points.columns, "poly_id"),
-                           on=points.columns, how="left")
+    if left:
+        base = pts.drop("__cell")
+        return base.join(hit.select("__pt", "poly_id"), on="__pt", how="left").drop("__pt")
     raise ValueError(f"unsupported how={how!r}")
 
 

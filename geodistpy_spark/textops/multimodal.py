@@ -2,84 +2,156 @@
 
 Media payloads are opaque ``binary`` columns with typed metadata; the
 Spark-side plumbing (schemas, partitioning, Arrow batch shapes,
-``mapInPandas`` signatures) is real and tested. The actual image/audio
-DECODE step is stubbed: the container has no codec libraries, so
-``decode_media`` either raises ``NotImplementedError`` (real mode) or
-produces a deterministic fake decode (test mode) — clearly marked.
+``mapInPandas`` signatures) is real and tested.
+
+The decode is REAL at the container-header level: PNG / BMP / GIF /
+JPEG-SOF dimensions are parsed from the payload bytes (pure byte math,
+no codec libraries needed — :func:`parse_image_header`). PIXEL-level
+decoding (and hence real feature extraction) would need codec libraries
+absent from this environment, so features are a deterministic function
+of the payload bytes, and unknown container formats either raise
+(``fake=False``) or get deterministic pseudo-dimensions (``fake=True``)
+— clearly marked.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 MEDIA_FEATURE_DIM = 8
+PAYLOAD_BYTES = 128
 
 DECODED_SCHEMA = (
-    "doc_id string, span_idx int, media_ref string, "
+    "doc_id string, span_idx int, media_ref string, format string, "
     "width int, height int, n_bytes long, features array<float>"
 )
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def parse_image_header(p: bytes):
+    """(format, width, height) from container header bytes, or None.
+
+    Pure-Python header parsing (public container specs): PNG IHDR,
+    BMP BITMAPINFOHEADER, GIF logical screen descriptor, JPEG SOF scan.
+    """
+    if len(p) >= 24 and p[:8] == _PNG_MAGIC and p[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", p[16:24])
+        return "png", w, h
+    if len(p) >= 26 and p[:2] == b"BM":
+        (hdr_size,) = struct.unpack("<I", p[14:18])
+        if hdr_size >= 40:
+            w, h = struct.unpack("<ii", p[18:26])
+            return "bmp", w, abs(h)
+    if len(p) >= 10 and p[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", p[6:10])
+        return "gif", w, h
+    if len(p) >= 4 and p[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < len(p):
+            if p[i] != 0xFF:
+                break
+            marker = p[i + 1]
+            if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+                h, w = struct.unpack(">HH", p[i + 5: i + 9])
+                return "jpeg", w, h
+            (seg,) = struct.unpack(">H", p[i + 2: i + 4])
+            i += 2 + seg
+        return None
+    return None
+
+
+def _synth_payload(ref: str) -> bytes:
+    """Deterministic media payload for the fetch STUB: a third each of
+    real PNG / real BMP headers (dimensions derived from sha256(ref), so
+    a SQL oracle can mirror them) and raw unheadered streams. Always
+    exactly PAYLOAD_BYTES bytes.
+    """
+    h = hashlib.sha256(ref.encode()).digest()
+    kind = h[0] % 3
+    w = 16 + (h[1] | (h[2] << 8)) % 2033
+    ht = 16 + (h[3] | (h[4] << 8)) % 1525
+    if kind == 0:
+        head = (_PNG_MAGIC + b"\x00\x00\x00\x0d" + b"IHDR"
+                + struct.pack(">II", w, ht) + b"\x08\x06\x00\x00\x00")
+    elif kind == 1:
+        head = (b"BM" + struct.pack("<I", PAYLOAD_BYTES) + b"\x00\x00\x00\x00"
+                + struct.pack("<I", 54) + struct.pack("<I", 40)
+                + struct.pack("<ii", w, ht))
+    else:
+        head = b""
+    return (head + h * 4)[:PAYLOAD_BYTES]
 
 
 def fetch_media_bytes(media_spans: DataFrame) -> DataFrame:
     """Resolve media_ref -> binary payload.
 
     STUB: a real deployment resolves ``media://`` refs against an object
-    store. Here the payload is a deterministic function of the ref
-    (sha256 stream), so every downstream shape is exercised with stable
-    bytes. Column types and batch flow match the real path exactly.
+    store. Here the payload is a deterministic function of the ref (see
+    :func:`_synth_payload`) including REAL PNG/BMP container headers, so
+    the downstream header decode is exercised on genuine byte layouts.
+    Column types and batch flow match the real path exactly.
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = [
-                hashlib.sha256(ref.encode()).digest() * 4  # 128 bytes
-                for ref in pdf["media_ref"]
-            ]
-            yield pdf.assign(payload=payloads)
+            yield pdf.assign(payload=[_synth_payload(r) for r in pdf["media_ref"]])
 
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in media_spans.schema.fields)
     return media_spans.mapInPandas(gen, schema=schema + ", payload binary")
 
 
 def decode_media(media_with_bytes: DataFrame, fake: bool = True) -> DataFrame:
-    """Decode binary media -> (dimensions, feature vector).
+    """Decode binary media -> (format, dimensions, feature vector).
 
-    ``fake=False`` raises NotImplementedError from the executors (no
-    codec libs in this environment). ``fake=True`` derives deterministic
-    pseudo-features from the payload bytes — the Arrow batch shape,
-    output schema, and partition behavior are identical to a real
-    decoder, which is what the engine layer needs to be correct about.
+    Dimensions are REAL for recognized containers (PNG/BMP/GIF/JPEG
+    header parse). For unrecognized payloads: ``fake=True`` derives
+    deterministic pseudo-dimensions from the leading bytes (format
+    'raw'); ``fake=False`` raises NotImplementedError from the executors
+    (pixel codecs absent in this environment). Features are a
+    deterministic byte-derived stand-in either way — the Arrow batch
+    shape, output schema, and partition behavior match a real decoder.
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "media decode requires codec libraries not present in "
-                    "this environment; run with fake=True for plumbing tests"
-                )
+            fmts, widths, heights = [], [], []
+            for p in pdf["payload"]:
+                hdr = parse_image_header(bytes(p))
+                if hdr is not None:
+                    fmts.append(hdr[0]); widths.append(hdr[1]); heights.append(hdr[2])
+                elif fake:
+                    u0, u1 = struct.unpack("<HH", bytes(p[:4]))
+                    fmts.append("raw")
+                    widths.append(u0 % 1920 + 16)
+                    heights.append(u1 % 1080 + 16)
+                else:
+                    raise NotImplementedError(
+                        "unrecognized media container (PNG/BMP/GIF/JPEG headers "
+                        "supported); pixel-level codecs are not present in this "
+                        "environment — run with fake=True for plumbing tests"
+                    )
             raw = np.stack([
-                np.frombuffer(p[:MEDIA_FEATURE_DIM * 4], dtype=np.uint8)[: MEDIA_FEATURE_DIM * 4]
+                np.frombuffer(bytes(p[-MEDIA_FEATURE_DIM * 4:]), dtype=np.uint8)
                 for p in pdf["payload"]
             ])
             feats = raw.reshape(len(pdf), MEDIA_FEATURE_DIM, 4).sum(axis=2) / 1020.0
-            first = np.stack([np.frombuffer(p[:4], dtype=np.uint16)[:2] for p in pdf["payload"]])
-            out = pd.DataFrame({
+            yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "span_idx": pdf["span_idx"],
                 "media_ref": pdf["media_ref"],
-                "width": (first[:, 0] % 1920 + 16).astype("int32"),
-                "height": (first[:, 1] % 1080 + 16).astype("int32"),
+                "format": fmts,
+                "width": np.asarray(widths, dtype="int32"),
+                "height": np.asarray(heights, dtype="int32"),
                 "n_bytes": pdf["payload"].str.len().astype("int64"),
                 "features": list(feats.astype(np.float32)),
             })
-            yield out
 
     return media_with_bytes.mapInPandas(gen, schema=DECODED_SCHEMA)
 

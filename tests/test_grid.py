@@ -89,6 +89,25 @@ class TestCoverConservative:
         top_row = {(n - 1) * n + x for x in range(n)}
         assert top_row <= set(cover)  # full top row present
 
+    def test_polar_cover_bounded_and_conservative(self):
+        # 1 km at lat 89.99 exploded to ~16k cells at res 14 in round 1;
+        # auto-res must coarsen until the cover is bounded yet still
+        # contain every in-radius point
+        res, cover = G.cell_cover(89.99, 45.0, 1_000.0)
+        assert len(cover) <= 2048
+        cover_set = set(cover)
+        rng = np.random.default_rng(5)
+        az = rng.uniform(0, 360, 50)
+        frac = rng.uniform(0, 1, 50)
+        pla, plo, _ = K.vincenty_direct(np.full(50, 89.99), np.full(50, 45.0),
+                                        az, 1_000.0 * frac)
+        cids = G.cell_id_np(pla, plo, res)
+        assert all(c in cover_set for c in cids)
+
+    def test_explicit_res_not_coarsened(self):
+        res, _ = G.cell_cover(89.99, 45.0, 1_000.0, res=14)
+        assert res == 14  # caller-forced resolution is respected
+
     def test_pick_resolution_monotone(self):
         rs = [G.pick_resolution(r) for r in (100, 1e4, 1e6, 1e7)]
         assert rs == sorted(rs, reverse=True)

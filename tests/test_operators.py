@@ -242,6 +242,27 @@ class TestKnn:
         assert np.allclose(np.sort(got.dist.values), np.sort(d)[:k], atol=1e-6)
 
 
+class TestPipLeftJoin:
+    def test_left_join_duplicates_and_nulls(self, spark, polygons):
+        # duplicate coordinate rows must stay 1:1 (not n x m) and rows
+        # with NULL payload columns must survive the left join
+        pts = spark.createDataFrame(
+            [(1, 36.9, -12.0, "a"), (2, 36.9, -12.0, "a"),   # duplicates
+             (3, 0.0, 0.0, None),                             # null payload
+             (4, 0.0, 0.0, None)],
+            "pid long, lat double, lon double, tag string")
+        from geodistpy_spark.operators import point_in_polygon_join
+
+        out = point_in_polygon_join(pts, polygons, how="left").toPandas()
+        # every input row appears; duplicates don't multiply beyond the
+        # number of polygons actually containing them
+        per_pid = out.groupby("pid").size()
+        assert set(per_pid.index) == {1, 2, 3, 4}
+        assert per_pid[3] == 1 and per_pid[4] == 1  # no hit -> exactly 1 row
+        assert out[out.pid == 3].poly_id.isna().all()
+        assert (per_pid[1] == per_pid[2])  # identical dup rows behave alike
+
+
 class TestDimwiseHaversine:
     def test_matches_reference_formula(self, spark):
         # reference geodesic.py:856-919 numpy semantics, mirrored here

@@ -70,6 +70,25 @@ def test_direct_output_in_range(la1, lo1, az, dist):
     assert 0.0 <= az2[0] < 360.0
 
 
+@settings(max_examples=150, deadline=None)
+@given(lat, lon, st.floats(min_value=0.0, max_value=360.0),
+       st.floats(min_value=0.0, max_value=20_003_000.0))
+def test_direct_inverse_roundtrip_extreme(la1, lo1, az, dist):
+    # extreme (azimuth, distance) incl. near-antipodal: direct -> inverse
+    # must recover the distance sub-mm (exercises the sigma-iteration
+    # sentinel + bisection rescue; reference contract geodesic.py:643-644)
+    la2, lo2, _ = K.vincenty_direct([la1], [lo1], [az], [dist])
+    s = K.geodesic_inverse([la1], [lo1], la2, lo2)
+    # the inverse returns the SHORTEST geodesic; a direct shot past the
+    # antipode comes back shorter — compare against that fold
+    expected = min(dist, 2.0 * 20_003_931.459 - dist)
+    # near the antipodal fold the shortest-path azimuth flips; allow the
+    # residual to grow with proximity to the fold (conditioning), but
+    # demand sub-mm in the regular regime
+    slack = 1e-3 if dist < 19_900_000.0 else 25.0
+    assert abs(s[0] - expected) < slack
+
+
 @settings(max_examples=100, deadline=None)
 @given(lat, lon, st.integers(min_value=0, max_value=20))
 def test_cell_id_in_range_and_parent_consistent(la, lo, res):

@@ -38,6 +38,39 @@ class TestResolver:
         assert list(out.columns) == ["id", "name", "lat", "lon"]
         assert len(out) == 1  # out-of-range row dropped
 
+    def test_struct_geometry_column(self, spark):
+        # GeoDataFrame point-geometry analog (pandas_support.py:79-87)
+        df = spark.createDataFrame(
+            [(1, (48.85, 2.35)), (2, (35.68, 139.65))],
+            "id long, geometry struct<lat: double, lon: double>")
+        out = coordinates_from_df(df).toPandas().sort_values("id")
+        assert list(out.columns) == ["id", "lat", "lon"]
+        assert out.lat.tolist() == [48.85, 35.68]
+        assert out.lon.tolist() == [2.35, 139.65]
+
+    def test_wkt_geometry_column(self, spark):
+        # WKT POINT is (lon lat) — OGC axis order
+        df = spark.createDataFrame(
+            [(1, "POINT(2.3522 48.8566)"), (2, "POINT(-74.006 40.7128)"),
+             (3, "LINESTRING(0 0, 1 1)")],  # non-point -> nulls -> dropped
+            "id long, geom string")
+        out = coordinates_from_df(df, geom_col="geom").toPandas().sort_values("id")
+        assert len(out) == 2
+        assert out.lat.tolist() == [48.8566, 40.7128]
+        assert out.lon.tolist() == [2.3522, -74.006]
+
+    def test_explicit_latlon_beats_geometry(self, spark):
+        df = spark.createDataFrame(
+            [(1, 10.0, 20.0, "POINT(99 99)")],
+            "id long, lat double, lon double, geometry string")
+        out = coordinates_from_df(df).toPandas()
+        assert out.lat.iloc[0] == 10.0 and out.lon.iloc[0] == 20.0
+
+    def test_bad_geometry_column_raises(self, spark):
+        df = spark.createDataFrame([(1, 5)], "id long, geometry long")
+        with pytest.raises(ValueError):
+            coordinates_from_df(df, geom_col="geometry")
+
 
 class TestStreaming:
     def test_stream_extract_geo(self, spark, fixture_paths, tmp_path):

@@ -187,10 +187,39 @@ class TestMultimodal:
 
         mf = media_feature_pipeline(docs.limit(200)).toPandas()
         if len(mf):
-            assert set(mf.columns) == {"doc_id", "span_idx", "media_ref",
+            assert set(mf.columns) == {"doc_id", "span_idx", "media_ref", "format",
                                        "width", "height", "n_bytes", "features"}
             assert (mf.n_bytes == 128).all()
             assert all(len(f) == 8 for f in mf.features)
+            assert set(mf.format) <= {"png", "bmp", "raw"}
+
+    def test_header_parse_real_formats(self):
+        import struct
+        from geodistpy_spark.textops.multimodal import parse_image_header, _PNG_MAGIC
+
+        png = _PNG_MAGIC + b"\x00\x00\x00\x0dIHDR" + struct.pack(">II", 640, 480) + b"\x08\x06\x00\x00\x00"
+        assert parse_image_header(png) == ("png", 640, 480)
+        bmp = b"BM" + b"\x00" * 12 + struct.pack("<I", 40) + struct.pack("<ii", 320, -200)
+        assert parse_image_header(bmp + b"\x00" * 8) == ("bmp", 320, 200)
+        gif = b"GIF89a" + struct.pack("<HH", 12, 34)
+        assert parse_image_header(gif) == ("gif", 12, 34)
+        # minimal JPEG: SOI + APP0 (len 4, empty) + SOF0
+        jpg = (b"\xff\xd8" + b"\xff\xe0\x00\x04\x00\x00"
+               + b"\xff\xc0\x00\x11\x08" + struct.pack(">HH", 480, 640) + b"\x00" * 10)
+        assert parse_image_header(jpg) == ("jpeg", 640, 480)
+        assert parse_image_header(b"\x00" * 64) is None
+
+    def test_decoded_dims_match_synthesized_headers(self, spark, docs):
+        from geodistpy_spark.textops import media_feature_pipeline
+        import hashlib
+
+        mf = media_feature_pipeline(docs.limit(100)).toPandas()
+        png_bmp = mf[mf.format.isin(["png", "bmp"])]
+        assert len(png_bmp) > 0
+        for _, r in png_bmp.head(20).iterrows():
+            h = hashlib.sha256(r.media_ref.encode()).digest()
+            assert r.width == 16 + (h[1] | (h[2] << 8)) % 2033
+            assert r.height == 16 + (h[3] | (h[4] << 8)) % 1525
 
     def test_decode_deterministic(self, spark, docs):
         from geodistpy_spark.textops import media_feature_pipeline
