@@ -660,6 +660,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return rolling_fingerprints(_flat_docs(spark, sf_dir))
 
+    def q_near_dup_groups(spark, sf_dir):
+        from geodistpy_spark.textops import near_dup_groups
+
+        return near_dup_groups(_flat_docs(spark, sf_dir), threshold=0.5)
+
     # --- multimodal + ANN scale path (rows-only) -----------------------
     def q_media_features(spark, sf_dir):
         from geodistpy_spark.textops import media_feature_pipeline
@@ -722,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dimwise_haversine": q_dimwise_haversine,
         "embedding_near_pairs": q_embedding_near_pairs,
         "rolling_fingerprints": q_rolling_fingerprints,
+        "near_dup_groups": q_near_dup_groups,
     }
 
 
@@ -1009,6 +1015,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE b0 % 3 WHEN 2 THEN (b2 + 256 * b3) % 1080 + 16 "
             "ELSE 16 + (b3 + 256 * b4) % 1525 END AS BIGINT) AS height, "
             "CAST(128 AS BIGINT) AS n_bytes FROM b"
+        ),
+        # transitive closure (recursive CTE) over the near-dup pair graph
+        # — an INDEPENDENT realization of the engine's iterative
+        # min-label-propagation connected components
+        "near_dup_groups": (
+            jacc_base.replace("WITH ", "WITH RECURSIVE ", 1)
+            + ", jac AS (SELECT p.id_1, p.id_2 FROM pairs p "
+            "JOIN sizes z1 ON z1.doc_id = p.id_1 JOIN sizes z2 ON z2.doc_id = p.id_2 "
+            "LEFT JOIN inter i ON p.id_1 = i.id_1 AND p.id_2 = i.id_2 "
+            "WHERE coalesce(i.n_inter, 0) / (z1.n_sh + z2.n_sh - coalesce(i.n_inter, 0)) >= 5e-1), "
+            "e AS (SELECT id_1 AS a, id_2 AS b FROM jac "
+            "UNION ALL SELECT id_2, id_1 FROM jac), "
+            "reach(src, dst) AS ("
+            "SELECT doc_id, doc_id FROM documents "
+            "UNION SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst) "
+            "SELECT src AS doc_id, min(dst) AS group_id FROM reach GROUP BY src"
         ),
         "sessionize": (
             "WITH o AS (SELECT user_id, ts, "

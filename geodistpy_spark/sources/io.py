@@ -62,14 +62,36 @@ def cells_to_partitions(cover_cells: list[int], res: int, partition_res: int) ->
     return sorted(parts)
 
 
-def write_documents(df: DataFrame, path: str, n_buckets: int | None = None,
-                    mode: str = "overwrite") -> None:
+def write_documents(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Write an interleaved documents table (schema-checked)."""
     got = {f.name for f in df.schema.fields}
     if got != {"doc_id", "spans"}:
         raise ValueError(f"documents table must be (doc_id, spans); got {sorted(got)}")
-    writer = df.write.mode(mode)
-    writer.parquet(path)
+    df.write.mode(mode).parquet(path)
+
+
+def write_bucketed_cells(df: DataFrame, table: str, path: str,
+                         lat_col: str = "lat", lon_col: str = "lon",
+                         res: int = 12, n_buckets: int = 64,
+                         mode: str = "overwrite") -> None:
+    """Write points bucketed (and sorted) by the fine cell id.
+
+    Two tables bucketed the same way join on ``cell_r{res}`` with NO
+    shuffle on either side (SortMergeJoin over pre-sorted buckets) — the
+    co-located-join layout for repeated spatial joins over the same
+    corpus (north rule: bucketing for co-located joins). Requires a
+    catalog table (``bucketBy`` is a table-format feature); ``path``
+    makes it an external table so the data lives where the caller says.
+    """
+    cell = f"cell_r{res}"
+    (
+        df.withColumn(cell, cell_id_col(lat_col, lon_col, res))
+        .write.mode(mode)
+        .bucketBy(n_buckets, cell)
+        .sortBy(cell)
+        .option("path", path)
+        .saveAsTable(table, format="parquet")
+    )
 
 
 def read_documents(spark: SparkSession, path: str) -> DataFrame:

@@ -1,3 +1,4 @@
 from .ingest import stream_extract_geo, stream_windowed_event_counts
+from .stateful import stream_sessionize
 
-__all__ = ["stream_extract_geo", "stream_windowed_event_counts"]
+__all__ = ["stream_extract_geo", "stream_windowed_event_counts", "stream_sessionize"]

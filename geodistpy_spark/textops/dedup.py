@@ -169,6 +169,59 @@ def near_duplicates_minhash(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def near_dup_groups(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 3,
+                    threshold: float = 0.7, max_iter: int = 25) -> DataFrame:
+    """Connected components over the near-duplicate graph: every doc
+    labeled with its component's smallest id (singletons label
+    themselves). Components = transitive closure of
+    :func:`near_duplicates_minhash` pairs at ``threshold``.
+
+    Realized as iterative min-label propagation (each round: one
+    edge-join + groupBy-min + label update; rounds = eccentricity of the
+    component from its min-id node). Near-dup clusters have tiny
+    diameters in practice, so rounds stay single-digit; for adversarial
+    graph shapes at extreme scale swap in the large-star/small-star
+    alternating algorithm — the join shape is identical.
+    """
+    pairs = near_duplicates_minhash(df, id_col, text_col, k, threshold) \
+        .select("id_1", "id_2")
+    edges = pairs.unionByName(
+        pairs.select(F.col("id_2").alias("id_1"), F.col("id_1").alias("id_2"))
+    ).cache()
+    labels = df.select(F.col(id_col), F.col(id_col).alias("group_id")).cache()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.select(F.col(id_col).alias("id_2"), "group_id"), on="id_2")
+            .groupBy(F.col("id_1").alias(id_col))
+            .agg(F.min("group_id").alias("__nmin"))
+        )
+        new_labels = (
+            labels.join(nbr_min, on=id_col, how="left")
+            .select(id_col,
+                    F.least(F.col("group_id"), F.coalesce("__nmin", F.col("group_id")))
+                    .alias("group_id"))
+        ).cache()
+        changed = (
+            new_labels.join(labels.withColumnRenamed("group_id", "__old"), on=id_col)
+            .filter(F.col("group_id") != F.col("__old")).limit(1).count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_near(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+               k: int = 3, threshold: float = 0.7) -> DataFrame:
+    """Near-duplicate dedup: keep ONE doc per connected component of the
+    near-dup graph (the smallest id), all columns preserved."""
+    groups = near_dup_groups(df, id_col, text_col, k, threshold)
+    keep = groups.filter(F.col(id_col) == F.col("group_id")).select(id_col)
+    return df.join(keep, on=id_col, how="left_semi")
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = 16, out: str = "simhash") -> DataFrame:
     """SimHash over unigram tokens: bit b set iff the sum over tokens of

@@ -43,6 +43,30 @@ class TestCellPartitionedLayout:
         assert (back.cell_r10.values == exp).all()
 
 
+class TestBucketedLayout:
+    def test_colocated_join_no_shuffle(self, spark, places, tmp_path):
+        from geodistpy_spark.sources.io import write_bucketed_cells
+
+        write_bucketed_cells(places, "bkt_a", str(tmp_path / "bkt_a"),
+                             res=8, n_buckets=8)
+        write_bucketed_cells(places.limit(40), "bkt_b", str(tmp_path / "bkt_b"),
+                             res=8, n_buckets=8)
+        try:
+            a = spark.table("bkt_a")
+            b = (spark.table("bkt_b")
+                 .withColumnRenamed("place_id", "b_id").select("cell_r8", "b_id"))
+            # disable broadcast so the join strategy is the bucketed SMJ
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            j = a.join(b, on="cell_r8")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange hashpartitioning" not in plan, plan
+            assert j.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+            spark.sql("DROP TABLE IF EXISTS bkt_a")
+            spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
 class TestDocumentsIO:
     def test_schema_enforced_roundtrip(self, spark, docs, tmp_path):
         path = str(tmp_path / "docs_out")

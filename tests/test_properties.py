@@ -79,14 +79,13 @@ def test_direct_inverse_roundtrip_extreme(la1, lo1, az, dist):
     # sentinel + bisection rescue; reference contract geodesic.py:643-644)
     la2, lo2, _ = K.vincenty_direct([la1], [lo1], [az], [dist])
     s = K.geodesic_inverse([la1], [lo1], la2, lo2)
-    # the inverse returns the SHORTEST geodesic; a direct shot past the
-    # antipode comes back shorter — compare against that fold
-    expected = min(dist, 2.0 * 20_003_931.459 - dist)
-    # near the antipodal fold the shortest-path azimuth flips; allow the
-    # residual to grow with proximity to the fold (conditioning), but
-    # demand sub-mm in the regular regime
-    slack = 1e-3 if dist < 19_900_000.0 else 25.0
-    assert abs(s[0] - expected) < slack
+    # the inverse returns the SHORTEST geodesic. Past the cut locus
+    # (azimuth-dependent, between ~19.97e6 m equatorial and ~20.004e6 m
+    # meridional) the forward distance exceeds the shortest, so there
+    # only the upper bound is provable; below it demand sub-mm equality
+    assert s[0] <= dist + 1e-3
+    if dist < 19_900_000.0:
+        assert abs(s[0] - dist) < 1e-3
 
 
 @settings(max_examples=100, deadline=None)

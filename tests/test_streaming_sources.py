@@ -101,6 +101,55 @@ class TestStreaming:
         batch = extract_geo_spans(spark.read.parquet(fixture_paths["documents"])).count()
         assert got == batch
 
+    def test_stream_sessionize_stateful(self, spark, tmp_path):
+        # custom stateful operator (applyInPandasWithState): in-batch
+        # session splits must close immediately; the trailing open
+        # session stays in state (bounded by active keys)
+        import datetime as dt
+        import os
+
+        src = str(tmp_path / "sess_in")
+        os.makedirs(src, exist_ok=True)
+        t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+        rows = [
+            # user a: 3 events in one session, then a 2h gap, 2 more
+            ("a", t0), ("a", t0 + dt.timedelta(minutes=5)),
+            ("a", t0 + dt.timedelta(minutes=10)),
+            ("a", t0 + dt.timedelta(hours=2)),
+            ("a", t0 + dt.timedelta(hours=2, minutes=3)),
+            # user b: single burst (stays open -> not emitted)
+            ("b", t0), ("b", t0 + dt.timedelta(minutes=1)),
+        ]
+        spark.createDataFrame(rows, "user_id string, ts timestamp") \
+            .coalesce(1).write.parquet(os.path.join(src, "batch0"))
+        from geodistpy_spark.streaming import stream_sessionize
+
+        ev = spark.readStream.schema("user_id string, ts timestamp") \
+            .parquet(os.path.join(src, "batch0"))
+        sess = stream_sessionize(ev, gap="30 minutes", watermark="10 minutes")
+        assert sess.isStreaming
+        q = (sess.writeStream.format("memory").queryName("sess_stream")
+             .outputMode("append").start())
+        try:
+            q.processAllAvailable()
+            out = spark.sql(
+                "SELECT * FROM sess_stream ORDER BY user_id, session_start"
+            ).toPandas()
+        finally:
+            q.stop()
+        # user a's FIRST session closes in-batch (3 events, 10 min); a's
+        # second session is still open (timeout 14:33 > watermark 13:53)
+        closed_a = out[out.user_id == "a"]
+        assert len(closed_a) == 1
+        assert closed_a.n_events.iloc[0] == 3
+        assert (closed_a.session_end.iloc[0]
+                - closed_a.session_start.iloc[0]).total_seconds() == 600
+        # user b's burst closes via EVENT-TIME TIMEOUT: watermark (max ts
+        # - 10 min = 13:53) passed b's last event + gap (12:31)
+        closed_b = out[out.user_id == "b"]
+        assert len(closed_b) == 1
+        assert closed_b.n_events.iloc[0] == 2
+
     def test_stream_windowed_events(self, spark, tmp_path):
         import os
         import shutil

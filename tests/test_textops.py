@@ -60,6 +60,25 @@ class TestDedup:
         got = set(zip(pairs.id_1, pairs.id_2))
         assert (1, 6) not in got and (2, 6) not in got
 
+    def test_near_dup_groups_transitive_chain(self, spark):
+        # a -> b -> c chain where the LSH (deterministic for fixed
+        # strings: md5 minhash) emits edges a-b and b-c but NOT a-c —
+        # verified offline; components must close transitively, and the
+        # singleton labels itself
+        a = " ".join(f"w{i}" for i in range(1, 19))
+        b = a.replace("w2 ", "xx ")          # jacc(a,b)=0.778, banded pair
+        c = b.replace("w11 ", "yy ")         # jacc(b,c)=0.684, banded pair
+        df = spark.createDataFrame(
+            [(10, a), (20, b), (30, c), (40, "totally different words entirely here")],
+            "doc_id long, text string")
+        from geodistpy_spark.textops import dedup_near, near_dup_groups
+
+        g = near_dup_groups(df, threshold=0.5).toPandas().set_index("doc_id").group_id
+        assert g[10] == g[20] == g[30] == 10
+        assert g[40] == 40
+        kept = dedup_near(df, threshold=0.5).toPandas()
+        assert sorted(kept.doc_id) == [10, 40]
+
     def test_simhash_identical_for_exact_dups(self, planted):
         sh = simhash(planted).toPandas().set_index("doc_id").simhash
         assert sh[1] == sh[2]
