@@ -100,11 +100,13 @@ def run_bench(spark, sf_dir: str) -> dict[str, float]:
     timings: dict[str, float] = {}
 
     def timed(name, fn):
-        # best-of-2: the first execution carries codegen/JIT/worker-spawn
-        # warmup and this shared host has noisy periods; the second run is
-        # the steady-state number a long-lived cluster job sees
+        # best-of-3: the first execution carries codegen/JIT/worker-spawn
+        # warmup, and this shared host has multi-second noisy periods
+        # (observed 5x swings on unchanged queries under load-average ~10
+        # from co-tenants); the minimum is the steady-state number a
+        # long-lived cluster job sees
         best = float("inf")
-        for _ in range(2):
+        for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", 3))):
             t0 = time.perf_counter()
             fn()
             best = min(best, time.perf_counter() - t0)
