@@ -12,6 +12,7 @@ from .dedup import (
     exact_duplicates,
     lsh_candidate_pairs,
     minhash_signatures,
+    connected_components,
     near_dup_groups,
     dedup_near,
     near_duplicates_minhash,
@@ -27,7 +28,7 @@ __all__ = [
     "doc_fingerprint", "language_id", "quality_score", "rolling_fingerprints",
     "token_count", "build_ivf_index", "cosine_topk", "ivf_topk", "train_centroids", "dedup_exact",
     "embedding_near_pairs", "exact_duplicates", "lsh_candidate_pairs",
-    "minhash_signatures", "near_dup_groups", "dedup_near",
+    "minhash_signatures", "connected_components", "near_dup_groups", "dedup_near",
     "near_duplicates_minhash", "ngram_jaccard",
     "shingles", "simhash", "simhash_near_pairs", "tokenize", "decode_media",
     "fetch_media_bytes", "media_feature_pipeline",

@@ -169,13 +169,12 @@ def near_duplicates_minhash(df: DataFrame, id_col: str = "doc_id",
     )
 
 
-def near_dup_groups(df: DataFrame, id_col: str = "doc_id",
-                    text_col: str = "text", k: int = 3,
-                    threshold: float = 0.7, max_iter: int = 25) -> DataFrame:
-    """Connected components over the near-duplicate graph: every doc
+def connected_components(nodes: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id",
+                         max_iter: int = 25) -> DataFrame:
+    """Connected components over an undirected pair graph: every node
     labeled with its component's smallest id (singletons label
-    themselves). Components = transitive closure of
-    :func:`near_duplicates_minhash` pairs at ``threshold``.
+    themselves). ``pairs`` has columns (id_1, id_2).
 
     Realized as iterative min-label propagation (each round: one
     edge-join + groupBy-min + label update; rounds = eccentricity of the
@@ -184,12 +183,10 @@ def near_dup_groups(df: DataFrame, id_col: str = "doc_id",
     graph shapes at extreme scale swap in the large-star/small-star
     alternating algorithm — the join shape is identical.
     """
-    pairs = near_duplicates_minhash(df, id_col, text_col, k, threshold) \
-        .select("id_1", "id_2")
-    edges = pairs.unionByName(
+    edges = pairs.select("id_1", "id_2").unionByName(
         pairs.select(F.col("id_2").alias("id_1"), F.col("id_1").alias("id_2"))
     ).cache()
-    labels = df.select(F.col(id_col), F.col(id_col).alias("group_id")).cache()
+    labels = nodes.select(F.col(id_col), F.col(id_col).alias("group_id")).cache()
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels.select(F.col(id_col).alias("id_2"), "group_id"), on="id_2")
@@ -211,6 +208,18 @@ def near_dup_groups(df: DataFrame, id_col: str = "doc_id",
         if changed == 0:
             break
     return labels
+
+
+def near_dup_groups(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 3,
+                    threshold: float = 0.7, max_iter: int = 25) -> DataFrame:
+    """Text near-dup components: :func:`connected_components` over the
+    transitive closure of :func:`near_duplicates_minhash` pairs at
+    ``threshold``. (For embeddings, feed
+    :func:`embedding_near_pairs` output into connected_components the
+    same way.)"""
+    pairs = near_duplicates_minhash(df, id_col, text_col, k, threshold)
+    return connected_components(df, pairs, id_col, max_iter)
 
 
 def dedup_near(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",

@@ -35,6 +35,20 @@ class TestCellPartitionedLayout:
         got = pruned.filter(pruned.cell_r12.isin([int(c) for c in cover])).toPandas()
         assert set(got.place_id) == set(in_cover.place_id)
 
+    def test_radius_prefilter_pushed_to_scan(self, spark, places, tmp_path):
+        # the cover IN-predicate must reach the parquet scan as a pushed
+        # filter (PushedFilters: [In(cell_r12, ...)]), not a post-scan
+        # Filter over all rows — this is the 100 TB contract
+        from geodistpy_spark.operators import point_in_radius
+
+        path = str(tmp_path / "pts_push")
+        write_cell_partitioned(places, path, res=12, partition_res=3)
+        back = read_cell_partitioned(spark, path)
+        hits = point_in_radius(back, (48.85, 2.35), 100_000.0,
+                               cell_col="cell_r12", res=12)
+        plan = hits._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [In(cell_r12" in plan, plan
+
     def test_fine_cell_matches_expression(self, spark, places, tmp_path):
         path = str(tmp_path / "pts2")
         write_cell_partitioned(places, path, res=10, partition_res=2)

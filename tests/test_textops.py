@@ -79,6 +79,23 @@ class TestDedup:
         kept = dedup_near(df, threshold=0.5).toPandas()
         assert sorted(kept.doc_id) == [10, 40]
 
+    def test_connected_components_over_embedding_pairs(self, spark):
+        # the generalized components API clusters embedding near-dups too
+        rng = np.random.default_rng(11)
+        v1 = rng.normal(0, 1, 8)
+        rows = [(0, v1.tolist()),
+                (1, (v1 + rng.normal(0, 0.01, 8)).tolist()),
+                (2, (v1 + rng.normal(0, 0.01, 8)).tolist()),
+                (3, rng.normal(0, 1, 8).tolist())]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        from geodistpy_spark.textops import connected_components, embedding_near_pairs
+
+        pairs = embedding_near_pairs(emb, threshold=0.95)
+        comp = connected_components(emb, pairs, id_col="vec_id") \
+            .toPandas().set_index("vec_id").group_id
+        assert comp[0] == comp[1] == comp[2] == 0
+        assert comp[3] == 3
+
     def test_simhash_identical_for_exact_dups(self, planted):
         sh = simhash(planted).toPandas().set_index("doc_id").simhash
         assert sh[1] == sh[2]
