@@ -80,14 +80,24 @@ def train_centroids(emb: DataFrame, n_cells: int, n_iters: int = 5,
     return [[float(x) for x in row] for row in C]
 
 
-def build_ivf_index(emb: DataFrame, n_cells: int = 16,
+def build_ivf_index(emb: DataFrame, n_cells: int | None = 16,
                     id_col: str = "vec_id", vec_col: str = "embedding"):
     """IVF index build: k-means centroids (deterministic sampled Lloyd)
     + fully-distributed nearest-centroid assignment. Returns
     (centroids_df, assigned_df) where assigned has a ``cell`` column.
+
+    ``n_cells=None`` auto-scales to ~sqrt(N) (clamped to [8, 65536]) —
+    the standard IVF sizing, so cells hold ~sqrt(N) vectors each and
+    both the probe fan-out and per-cell scan grow as sqrt, not linearly.
     """
+    import math
+
     spark = emb.sparkSession
-    cvecs = train_centroids(emb, n_cells, id_col=id_col, vec_col=vec_col)
+    if n_cells is None:
+        n = emb.count()
+        n_cells = min(max(int(math.isqrt(max(n, 1))), 8), 65_536)
+    cvecs = train_centroids(emb, n_cells, id_col=id_col, vec_col=vec_col,
+                            sample_size=max(4096, 4 * n_cells))
     cents = spark.createDataFrame(
         [(i, v) for i, v in enumerate(cvecs)], "cell long, cv array<double>")
     v = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
@@ -103,12 +113,14 @@ def build_ivf_index(emb: DataFrame, n_cells: int = 16,
     return cents, assigned
 
 
-def ivf_topk(emb: DataFrame, queries: DataFrame, k: int, n_cells: int = 16,
+def ivf_topk(emb: DataFrame, queries: DataFrame, k: int,
+             n_cells: int | None = 16,
              n_probe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
              q_id: str = "query_id", q_vec: str = "q_vec") -> DataFrame:
     """IVF-bucketed approximate top-k: probe only the n_probe cells whose
     centroids are most similar to the query; exact cosine within probed
     cells. Candidate work drops ~n_cells/n_probe-fold vs brute force.
+    ``n_cells=None`` auto-scales to ~sqrt(N) (see build_ivf_index).
     """
     cents, assigned = build_ivf_index(emb, n_cells, id_col, vec_col)
     q = queries.select(F.col(q_id), F.col(q_vec).cast("array<double>").alias("qv"))

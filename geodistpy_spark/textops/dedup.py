@@ -98,9 +98,19 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", k: int = 3,
                         n_seeds: int = DEFAULT_SEEDS,
-                        n_bands: int = DEFAULT_BANDS) -> DataFrame:
+                        n_bands: int = DEFAULT_BANDS,
+                        max_band_size: int | None = None) -> DataFrame:
     """Near-dup candidate pairs via LSH banding: docs sharing any band of
     the MinHash signature. Output: (id_1, id_2) with id_1 < id_2.
+
+    ``max_band_size`` caps hot bands: a band key shared by m docs emits
+    m*(m-1)/2 pairs, so one boilerplate-heavy bucket (empty docs, common
+    headers) can go quadratic at corpus scale. Buckets above the cap are
+    dropped BEFORE the self-join (one extra count agg on the band
+    relation — map-side combined, cheap). Recall note: a true near-dup
+    pair inside a dropped bucket is only lost if ALL of its matching
+    bands are hot; default None keeps exact banding semantics (and the
+    driver oracle mirrors the uncapped form).
     """
     rows = n_seeds // n_bands
     sig = minhash_signatures(df, id_col, text_col, k, n_seeds)
@@ -119,6 +129,10 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
             )
         ).alias("band_key"),
     )
+    if max_band_size is not None:
+        sizes = bands.groupBy("band_key").count()
+        keep = sizes.filter(F.col("count") <= max_band_size).select("band_key")
+        bands = bands.join(keep, on="band_key", how="left_semi")
     a = bands.select(F.col(id_col).alias("id_1"), "band_key")
     b = bands.select(F.col(id_col).alias("id_2"), "band_key")
     return (

@@ -101,6 +101,36 @@ class TestStreaming:
         batch = extract_geo_spans(spark.read.parquet(fixture_paths["documents"])).count()
         assert got == batch
 
+    def test_stream_point_in_radius(self, spark, fixture_paths, tmp_path):
+        # the cell-prefiltered radius query is stateless column math +
+        # an Arrow UDF, so it runs unchanged under readStream; streaming
+        # results must equal the batch run on the same files
+        import os
+        import shutil
+
+        src = str(tmp_path / "pir_in")
+        os.makedirs(src, exist_ok=True)
+        shutil.copy(fixture_paths["places"], os.path.join(src, "p0.parquet"))
+        from geodistpy_spark.operators import point_in_radius
+
+        batch_df = spark.read.parquet(os.path.join(src, "p0.parquet"))
+        schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                           for f in batch_df.schema.fields)
+        stream = spark.readStream.schema(schema).parquet(src)
+        hits = point_in_radius(stream, (48.85, 2.35), 2_000_000.0)
+        assert hits.isStreaming
+        q = (hits.writeStream.format("memory").queryName("pir_stream")
+             .outputMode("append").start())
+        try:
+            q.processAllAvailable()
+            got = spark.sql("SELECT place_id, dist FROM pir_stream").toPandas()
+        finally:
+            q.stop()
+        exp = point_in_radius(batch_df, (48.85, 2.35), 2_000_000.0) \
+            .select("place_id", "dist").toPandas()
+        assert sorted(got.place_id) == sorted(exp.place_id)
+        assert len(got) > 0
+
     def test_stream_sessionize_stateful(self, spark, tmp_path):
         # custom stateful operator (applyInPandasWithState): in-batch
         # session splits must close immediately; the trailing open

@@ -60,6 +60,21 @@ class TestDedup:
         got = set(zip(pairs.id_1, pairs.id_2))
         assert (1, 6) not in got and (2, 6) not in got
 
+    def test_lsh_hot_band_cap(self, spark):
+        # 30 identical docs share every band (bucket of 30); cap 10 drops
+        # the hot buckets so the quadratic blowup never materializes, while
+        # a small distinct near-dup cluster survives
+        same = "boilerplate header text repeated across the whole corpus segment"
+        uniq = "one specific document about spark geodesics and cell covers"
+        rows = [(i, same) for i in range(30)] + [(100, uniq), (101, uniq + " extra")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        capped = lsh_candidate_pairs(df, max_band_size=10).toPandas()
+        got = set(zip(capped.id_1, capped.id_2))
+        assert (100, 101) in got
+        assert not any(a < 30 and b < 30 for a, b in got)  # hot bucket dropped
+        full = lsh_candidate_pairs(df).toPandas()
+        assert len(full) == 30 * 29 // 2 + 1  # uncapped default unchanged
+
     def test_near_dup_groups_transitive_chain(self, spark):
         # a -> b -> c chain where the LSH (deterministic for fixed
         # strings: md5 minhash) emits edges a-b and b-c but NOT a-c —
