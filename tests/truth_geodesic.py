@@ -74,6 +74,71 @@ def _lam_s_for_alpha1(alp1, bet1, bet2, f, ep2):
     return lam12, s_unit
 
 
+def geodesic_direct_truth(lat1, lon1, az1_deg, s_m,
+                          a: float = WGS84_A, f: float = WGS84_F):
+    """Exact direct problem: (lat2, lon2) in degrees, ~30 correct digits
+    internally. Same exact-integral formulation as the inverse:
+    arc-length root-find on sigma2, then the auxiliary-sphere relations
+    sin(beta) = cos(alpha0) sin(sigma), tan(omega) = sin(alpha0) tan(sigma)
+    (continuity handled via |omega - sigma| <= pi/2).
+    """
+    fm = mp.mpf(f)
+    a_m = mp.mpf(a)
+    b = 1 - fm
+    ep2 = (1 / b) ** 2 - 1
+
+    phi1 = mp.radians(mp.mpf(lat1))
+    alp1 = mp.radians(mp.mpf(az1_deg))
+    bet1 = mp.atan(b * mp.tan(phi1))
+    sbet1, cbet1 = mp.sin(bet1), mp.cos(bet1)
+    salp1, calp1 = mp.sin(alp1), mp.cos(alp1)
+
+    salp0 = salp1 * cbet1
+    calp0 = mp.sqrt(calp1 ** 2 + (salp1 * sbet1) ** 2)
+    k2 = calp0 ** 2 * ep2
+
+    sig1 = mp.atan2(sbet1, calp1 * cbet1)
+
+    def ds(t):
+        return mp.sqrt(1 + k2 * mp.sin(t) ** 2)
+
+    def dlam(t):
+        return (2 - fm) / (1 + (1 - fm) * mp.sqrt(1 + k2 * mp.sin(t) ** 2))
+
+    target = mp.mpf(s_m) / (a_m * b)  # arc in integrand units
+    lo, hi = sig1, sig1 + mp.pi + mp.mpf("0.1")
+    # expand hi until the arc exceeds target (s_m <= half circumference+)
+    while mp.quad(ds, [sig1, hi]) < target:
+        hi += mp.pi
+    for _ in range(130):
+        mid = (lo + hi) / 2
+        if mp.quad(ds, [sig1, mid]) < target:
+            lo = mid
+        else:
+            hi = mid
+    sig2 = (lo + hi) / 2
+
+    def omega_true(sig):
+        w = mp.atan2(salp0 * mp.sin(sig), mp.cos(sig))
+        d = w - sig
+        d = (d + mp.pi) % (2 * mp.pi) - mp.pi  # |omega - sigma| <= pi/2
+        return sig + d
+
+    sbet2 = calp0 * mp.sin(sig2)
+    # cos(beta2) from the alpha2 relation (always >= 0)
+    calp2_cbet2 = calp0 * mp.cos(sig2)
+    cbet2 = mp.sqrt(salp0 ** 2 + calp2_cbet2 ** 2)
+    bet2 = mp.atan2(sbet2, cbet2)
+    lat2 = mp.degrees(mp.atan(mp.tan(bet2) / b))
+
+    dome = omega_true(sig2) - omega_true(sig1)
+    i3 = mp.quad(dlam, [sig1, sig2])
+    lam12 = dome - fm * salp0 * i3
+    lon2 = mp.mpf(lon1) + mp.degrees(lam12)
+    lon2 = (lon2 + 180) % 360 - 180
+    return float(lat2), float(lon2)
+
+
 def geodesic_inverse_truth(lat1, lon1, lat2, lon2,
                            a: float = WGS84_A, f: float = WGS84_F) -> float:
     """Exact geodesic distance in meters (float return, ~30 correct digits
