@@ -381,13 +381,20 @@ def embedding_near_pairs(emb: DataFrame, id_col: str = "vec_id",
             )
         ),
     )
-    a = sig.select(F.col(id_col).alias("id_1"), F.col("v").alias("v1"), "band")
-    b = sig.select(F.col(id_col).alias("id_2"), F.col("v").alias("v2"), "band")
-    cand = (
+    # band join + distinct carry ONLY ids (a pair matching several bands
+    # must not shuffle its vectors once per band); vectors rejoin after
+    a = sig.select(F.col(id_col).alias("id_1"), "band")
+    b = sig.select(F.col(id_col).alias("id_2"), "band")
+    cand_ids = (
         a.join(b, on="band")
         .filter(F.col("id_1") < F.col("id_2"))
-        .select("id_1", "id_2", "v1", "v2")
+        .select("id_1", "id_2")
         .distinct()
+    )
+    cand = (
+        cand_ids
+        .join(v.select(F.col(id_col).alias("id_1"), F.col("v").alias("v1")), on="id_1")
+        .join(v.select(F.col(id_col).alias("id_2"), F.col("v").alias("v2")), on="id_2")
     )
 
     dot = F.aggregate(F.zip_with("v1", "v2", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
