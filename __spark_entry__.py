@@ -665,6 +665,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return near_dup_groups(_flat_docs(spark, sf_dir), threshold=0.5)
 
+    def q_asof_join(spark, sf_dir):
+        # every non-purchase event tagged with the user's latest prior
+        # purchase (backward as-of, exact matches allowed)
+        from geodistpy_spark.operators import asof_join
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        left = ev.filter(F.col("event_type") != "purchase") \
+            .select("event_id", "user_id", "ts")
+        right = ev.filter(F.col("event_type") == "purchase") \
+            .select("user_id", "ts", F.col("value").alias("purchase_value"))
+        out = asof_join(left, right, on="user_id")
+        return out.select(
+            "event_id",
+            F.round("purchase_value_asof", 6).alias("purch_v"),
+            F.unix_timestamp("ts_asof").cast("long").alias("purch_ts_s"),
+        )
+
     # --- multimodal + ANN scale path (rows-only) -----------------------
     def q_media_features(spark, sf_dir):
         from geodistpy_spark.textops import media_feature_pipeline
@@ -728,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_pairs": q_embedding_near_pairs,
         "rolling_fingerprints": q_rolling_fingerprints,
         "near_dup_groups": q_near_dup_groups,
+        "asof_join": q_asof_join,
     }
 
 
@@ -1031,6 +1049,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, doc_id FROM documents "
             "UNION SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst) "
             "SELECT src AS doc_id, min(dst) AS group_id FROM reach GROUP BY src"
+        ),
+        # DuckDB's NATIVE ASOF JOIN — an independent realization of the
+        # engine's union-tag + window carry-forward plan
+        "asof_join": (
+            "WITH l AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type != 'purchase'), "
+            "r AS (SELECT user_id, ts, value FROM events "
+            "WHERE event_type = 'purchase') "
+            "SELECT l.event_id, round(r.value, 6) AS purch_v, "
+            "CAST(floor(epoch(r.ts)) AS BIGINT) AS purch_ts_s "
+            "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"
         ),
         "sessionize": (
             "WITH o AS (SELECT user_id, ts, "

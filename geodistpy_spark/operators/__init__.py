@@ -14,6 +14,7 @@ from .distances import (
     midpoint,
 )
 from .knn import geodesic_knn, knn_join
+from .temporal import asof_join
 from .polygons import point_in_polygon_join, zonal_stats
 from .radius import point_in_radius, radius_join
 
@@ -21,6 +22,6 @@ __all__ = [
     "bearing", "destination", "geodist", "geodist_dimwise",
     "geodist_dimwise_haversine", "geodist_dimwise_harvesine", "geodist_matrix",
     "geodist_to_many", "greatcircle", "greatcircle_matrix", "haversine_dist", "interpolate",
-    "midpoint", "geodesic_knn", "knn_join", "point_in_polygon_join",
+    "midpoint", "geodesic_knn", "knn_join", "asof_join", "point_in_polygon_join",
     "zonal_stats", "point_in_radius", "radius_join",
 ]

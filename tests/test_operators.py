@@ -263,6 +263,43 @@ class TestPipLeftJoin:
         assert (per_pid[1] == per_pid[2])  # identical dup rows behave alike
 
 
+class TestAsofJoin:
+    def test_matches_pandas_merge_asof(self, spark):
+        import pandas as pd
+        rng = np.random.default_rng(3)
+        lts = np.sort(rng.integers(0, 10_000, 300))
+        rts = np.sort(rng.integers(0, 10_000, 80))
+        lpd = pd.DataFrame({"eid": np.arange(300), "user_id": rng.integers(0, 5, 300),
+                            "ts": pd.to_datetime(lts, unit="s")})
+        rpd = pd.DataFrame({"user_id": rng.integers(0, 5, 80),
+                            "ts": pd.to_datetime(rts, unit="s"),
+                            "state": rng.normal(0, 1, 80).round(6)})
+        from geodistpy_spark.operators import asof_join
+
+        got = asof_join(spark.createDataFrame(lpd), spark.createDataFrame(rpd),
+                        on="user_id").toPandas().sort_values("eid").reset_index(drop=True)
+        exp = pd.merge_asof(lpd.sort_values("ts"), rpd.sort_values("ts"),
+                            on="ts", by="user_id", direction="backward") \
+            .sort_values("eid").reset_index(drop=True)
+        assert np.allclose(got.state_asof.values, exp.state.values, equal_nan=True)
+
+    def test_tolerance_nulls_stale_matches(self, spark):
+        import datetime as dt
+        t0 = dt.datetime(2026, 1, 1)
+        left = spark.createDataFrame(
+            [(1, 7, t0 + dt.timedelta(seconds=100)),
+             (2, 7, t0 + dt.timedelta(seconds=5000))],
+            "eid long, user_id long, ts timestamp")
+        right = spark.createDataFrame(
+            [(7, t0, 42.0)], "user_id long, ts timestamp, state double")
+        from geodistpy_spark.operators import asof_join
+
+        out = asof_join(left, right, on="user_id", tolerance_s=600) \
+            .toPandas().set_index("eid")
+        assert out.loc[1, "state_asof"] == 42.0          # 100 s old: kept
+        assert np.isnan(out.loc[2, "state_asof"])        # 5000 s old: nulled
+
+
 class TestDimwiseHaversine:
     def test_matches_reference_formula(self, spark):
         # reference geodesic.py:856-919 numpy semantics, mirrored here
