@@ -347,6 +347,9 @@ def embedding_near_pairs(emb: DataFrame, id_col: str = "vec_id",
     n_planes = n_bands * band_bits
     rng = np.random.default_rng(seed)
     dim_row = emb.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:  # empty input -> empty pair relation
+        return emb.sparkSession.createDataFrame(
+            [], "id_1 long, id_2 long, cosine double")
     dim = dim_row["d"]
     planes = rng.normal(0, 1, (n_planes, dim))
 

@@ -94,6 +94,17 @@ class TestDedup:
         kept = dedup_near(df, threshold=0.5).toPandas()
         assert sorted(kept.doc_id) == [10, 40]
 
+    def test_empty_inputs_dont_crash(self, spark):
+        # empty-corpus robustness across the dedup surface
+        from geodistpy_spark.textops import embedding_near_pairs
+
+        empty_docs = spark.createDataFrame([], "doc_id long, text string")
+        empty_emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+        assert near_duplicates_minhash(empty_docs).count() == 0
+        assert simhash_near_pairs(empty_docs).count() == 0
+        assert dedup_exact(empty_docs).count() == 0
+        assert embedding_near_pairs(empty_emb).count() == 0
+
     def test_connected_components_over_embedding_pairs(self, spark):
         # the generalized components API clusters embedding near-dups too
         rng = np.random.default_rng(11)
