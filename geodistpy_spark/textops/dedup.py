@@ -77,12 +77,15 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id",
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", k: int = 3,
-                       n_seeds: int = DEFAULT_SEEDS) -> DataFrame:
+                       n_seeds: int = DEFAULT_SEEDS,
+                       _shingles: DataFrame | None = None) -> DataFrame:
     """MinHash signature per doc: mh{s} = min over shingles of
     md5('{s}:' || shingle) — fixed-width hex strings, so string MIN is a
-    uniform hash MIN. One explode + one groupBy shuffle.
+    uniform hash MIN. One explode + one groupBy shuffle. ``_shingles``
+    lets a pipeline share one (cached) shingle relation.
     """
-    sh = shingles(df.select(id_col, text_col), text_col, k)
+    sh = _shingles if _shingles is not None else shingles(
+        df.select(id_col, text_col), text_col, k)
     hashed = sh.select(
         id_col,
         *[
@@ -99,7 +102,8 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", k: int = 3,
                         n_seeds: int = DEFAULT_SEEDS,
                         n_bands: int = DEFAULT_BANDS,
-                        max_band_size: int | None = None) -> DataFrame:
+                        max_band_size: int | None = None,
+                        _shingles: DataFrame | None = None) -> DataFrame:
     """Near-dup candidate pairs via LSH banding: docs sharing any band of
     the MinHash signature. Output: (id_1, id_2) with id_1 < id_2.
 
@@ -113,7 +117,7 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     driver oracle mirrors the uncapped form).
     """
     rows = n_seeds // n_bands
-    sig = minhash_signatures(df, id_col, text_col, k, n_seeds)
+    sig = minhash_signatures(df, id_col, text_col, k, n_seeds, _shingles=_shingles)
     bands = sig.select(
         id_col,
         F.explode(
@@ -144,13 +148,15 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
 
 
 def ngram_jaccard(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text", k: int = 3) -> DataFrame:
+                  text_col: str = "text", k: int = 3,
+                  _shingles: DataFrame | None = None) -> DataFrame:
     """Exact shingle-set Jaccard for given (id_1, id_2) pairs.
 
     Joins the distinct-shingle relation to itself through the pair list:
     |A ∩ B| by equi-join on shingle, |A ∪ B| = |A| + |B| − |A ∩ B|.
     """
-    sh = shingles(df.select(id_col, text_col), text_col, k).cache()
+    sh = _shingles if _shingles is not None else shingles(
+        df.select(id_col, text_col), text_col, k).cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     inter = (
         pairs.join(sh.select(F.col(id_col).alias("id_1"), "shingle"), on="id_1")
@@ -176,9 +182,13 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
 def near_duplicates_minhash(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", k: int = 3,
                             threshold: float = 0.7) -> DataFrame:
-    """Full near-dup pipeline: LSH candidates -> exact Jaccard verify."""
-    pairs = lsh_candidate_pairs(df, id_col, text_col, k)
-    return ngram_jaccard(df, pairs, id_col, text_col, k).filter(
+    """Full near-dup pipeline: LSH candidates -> exact Jaccard verify.
+    The shingle relation is computed ONCE and shared (cached) by the
+    signature and verify stages — it is the pipeline's only repeated
+    corpus-sized intermediate."""
+    sh = shingles(df.select(id_col, text_col), text_col, k).cache()
+    pairs = lsh_candidate_pairs(df, id_col, text_col, k, _shingles=sh)
+    return ngram_jaccard(df, pairs, id_col, text_col, k, _shingles=sh).filter(
         F.col("jaccard") >= threshold
     )
 
