@@ -36,6 +36,31 @@ def stream_extract_geo(spark: SparkSession, input_dir: str,
     return extract_geo_spans(docs, res=res)
 
 
+def stream_dedup_exact(docs: DataFrame, ts_col: str = "ingest_ts",
+                       text_col: str = "text",
+                       watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup at ingest: drop re-arrivals of identical
+    content within the watermark horizon.
+
+    Spark-first: this is the NATIVE ``dropDuplicatesWithinWatermark`` on
+    the content hash — bounded state (keys expire once the watermark
+    passes), no custom stateful operator needed. The batch analog is
+    :func:`geodistpy_spark.textops.dedup_exact`.
+
+    Semantics (Spark's contract, probed in tests): duplicates arriving
+    within ``watermark`` of each other are dropped with certainty;
+    duplicates farther apart are dropped best-effort (state expiry
+    happens at batch boundaries, so a dup in the same microbatch as the
+    watermark advance may still be caught).
+    """
+    return (
+        docs.withColumn("__text_hash", F.md5(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__text_hash"])
+        .drop("__text_hash")
+    )
+
+
 def stream_windowed_event_counts(spark: SparkSession, input_dir: str,
                                  schema: str,
                                  window: str = "5 minutes",

@@ -180,6 +180,40 @@ class TestStreaming:
         assert len(closed_b) == 1
         assert closed_b.n_events.iloc[0] == 2
 
+    def test_stream_dedup_exact_across_batches(self, spark, tmp_path):
+        # identical content re-arriving in a later microbatch (within the
+        # watermark) must be dropped by the native bounded-state dedup
+        import datetime as dt
+        import os
+
+        src = str(tmp_path / "dedup_in")
+        os.makedirs(src, exist_ok=True)
+        t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+        spark.createDataFrame(
+            [("d1", "same content", t0), ("d2", "other content", t0)],
+            "doc_id string, text string, ingest_ts timestamp") \
+            .coalesce(1).write.parquet(os.path.join(src, "b"))
+        from geodistpy_spark.streaming import stream_dedup_exact
+
+        stream = spark.readStream.schema(
+            "doc_id string, text string, ingest_ts timestamp").parquet(os.path.join(src, "b"))
+        out = stream_dedup_exact(stream, watermark="1 hour")
+        q = (out.writeStream.format("memory").queryName("dd_stream")
+             .outputMode("append").start())
+        try:
+            q.processAllAvailable()
+            # batch 2: one duplicate of d1's text + one new doc
+            spark.createDataFrame(
+                [("d3", "same content", t0 + dt.timedelta(minutes=5)),
+                 ("d4", "fresh content", t0 + dt.timedelta(minutes=5))],
+                "doc_id string, text string, ingest_ts timestamp") \
+                .coalesce(1).write.mode("append").parquet(os.path.join(src, "b"))
+            q.processAllAvailable()
+            got = spark.sql("SELECT doc_id FROM dd_stream").toPandas()
+        finally:
+            q.stop()
+        assert sorted(got.doc_id) == ["d1", "d2", "d4"]  # d3 dropped
+
     def test_stream_windowed_events(self, spark, tmp_path):
         import os
         import shutil
