@@ -228,6 +228,37 @@ class TestKnn:
         with pytest.raises(ValueError):
             knn_join(queries, cand, 2)
 
+    def test_knn_join_randomized_stress_vs_brute(self, spark):
+        # randomized configs over clustered+duplicate candidates and
+        # mixed query placements, exact and great-circle, several k —
+        # every config checked against brute force
+        import pandas as pd
+        rng = np.random.default_rng(2024)
+        centers = rng.uniform(-70, 70, (6, 2))
+        n = 800
+        which = rng.integers(0, 6, n)
+        cand_lat = np.clip(centers[which, 0] + rng.normal(0, 2, n), -90, 90)
+        cand_lon = ((centers[which, 1] + rng.normal(0, 2, n) + 180) % 360) - 180
+        cand_lat[:20] = cand_lat[0]; cand_lon[:20] = cand_lon[0]  # duplicates
+        cand = spark.createDataFrame(
+            pd.DataFrame({"cid": np.arange(n), "lat": cand_lat, "lon": cand_lon}))
+        qlat = np.concatenate([rng.uniform(-85, 85, 10), centers[:3, 0]])
+        qlon = np.concatenate([rng.uniform(-180, 180, 10), centers[:3, 1]])
+        queries = spark.createDataFrame(
+            pd.DataFrame({"query_id": np.arange(len(qlat)),
+                          "q_lat": qlat, "q_lon": qlon}))
+        for k, exact in [(1, True), (3, False), (17, True)]:
+            got = knn_join(queries, cand, k, exact=exact,
+                           c_lat="lat", c_lon="lon", c_id="cid").toPandas()
+            assert len(got) == len(qlat) * k, (k, exact, len(got))
+            dfun = K.geodesic_inverse if exact else K.great_circle
+            for qi in range(len(qlat)):
+                d = dfun(np.full(n, qlat[qi]), np.full(n, qlon[qi]),
+                         cand_lat, cand_lon)
+                exp = np.sort(d)[:k]
+                g = np.sort(got[got.query_id == qi].dist.values)
+                assert np.allclose(g, exp, atol=1e-6), (k, exact, qi)
+
     def test_knn_join_sparse_straggler_phase3(self, spark, places, places_pd):
         # a query in the middle of the Pacific with k larger than any
         # phase-1/2 disk plausibly holds -> must still return exact top-k
