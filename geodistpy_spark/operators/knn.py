@@ -26,16 +26,20 @@ a FIXED 3-phase plan built lazily as one DAG:
      cross-join, so termination and exactness are unconditional.
 
 Phases 2/3 see only queries that phase 1/2 could not close; at uniform
-density the per-query radius closes ~99% in phase 1. All three phases
-execute in ONE Spark job (lazy union), plus the phase-0 aggregation.
+density the per-query radius closes ~99% in phase 1. One driving action
+executes the whole lazy union; the small per-phase top-k outputs are
+cached (the nondeterministic refine fence blocks Catalyst subtree
+dedup — without the caches the multi-consumer DAG re-executes phases).
 
 Ordering contract matches the reference: ascending exact distance, ties
 broken by candidate id when ``c_id`` is given (stable; reference argsort
 is index-stable, distance.py:533-537), else by (lat, lon).
 
 Scale notes (100 TB): the histogram is a map-side-combined agg on an
-int key (4^6 distinct values) — one cheap pass; the join shuffles on
-cell id with AQE skew-join + optional salting; per-query covers are
+int key (4^6 distinct values) — one cheap pass; the cover join
+broadcasts the exploded query side (the candidate table is never
+hash-partitioned by cell — see docs/SCALE.md skew evidence), with
+optional salting for the forced-shuffle regime; per-query covers are
 bounded by ``max_cover_cells`` regardless of how sparse a region is
 (unbounded-radius queries are caught by phase 3 instead of exploding
 the cover).
