@@ -565,6 +565,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("quality", 6).alias("q"),
         )
 
+    def q_bpe_tokens(spark, sf_dir):
+        from geodistpy_spark.textops import token_count_bpe
+
+        out = token_count_bpe(_flat_docs(spark, sf_dir))
+        return out.select("doc_id", F.col("n_tokens_bpe").cast("long").alias("n_bpe"))
+
     def q_language_id(spark, sf_dir):
         out = language_id(_flat_docs(spark, sf_dir))
         return out.select("doc_id", "lang_pred")
@@ -731,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
         "token_quality": q_token_quality,
+        "bpe_tokens": q_bpe_tokens,
         "language_id": q_language_id,
         "doc_fingerprint": q_doc_fingerprint,
         "embedding_topk": q_embedding_topk,
@@ -916,6 +923,11 @@ def oracle_sql() -> dict[str, str]:
             "(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / greatest(length(text), 1)) * 4e-1 + "
             f"least((len(list_filter(words, w -> list_contains([{stop_list}], w))) / greatest(len(words), 1)) * 4e0, 1e0) * 2e-1, 6) AS q "
             "FROM toks"
+        ),
+        "bpe_tokens": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]+')) AS BIGINT) AS n_bpe "
+            "FROM documents"
         ),
         "language_id": (
             f"WITH toks AS (SELECT doc_id, {_WORDS} AS words FROM documents), "

@@ -27,6 +27,22 @@ def token_count(df: DataFrame, text_col: str = "text",
     return tokenize(df, text_col).withColumn(out, F.size("words")).drop("words")
 
 
+#: BPE-ish pre-tokenization classes: letter runs, digit runs, symbol runs
+#: (GPT-2-style word/number/punct split, ASCII classes only so the SAME
+#: pattern runs under Java regex (Spark) and RE2 (DuckDB oracle))
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]+"
+
+
+def token_count_bpe(df: DataFrame, text_col: str = "text",
+                    out: str = "n_tokens_bpe") -> DataFrame:
+    """BPE-ish token count: length of the regex pre-tokenization
+    (letter/digit/symbol runs) — the usual upper-anchor estimate for
+    subword-tokenizer budgets, a few times coarser than real BPE but
+    monotone with it. Pure codegen (regexp_extract_all + size)."""
+    return df.withColumn(
+        out, F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), F.lit(0))))
+
+
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality features + composite score:
 

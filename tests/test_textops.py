@@ -220,6 +220,16 @@ class TestAnalysis:
         out = token_count(df).toPandas().set_index("doc_id").n_tokens
         assert out[1] == 3 and out[2] == 0
 
+    def test_token_count_bpe(self, spark):
+        from geodistpy_spark.textops import token_count_bpe
+
+        df = spark.createDataFrame(
+            [(1, "don't stop: 42 times!"),  # don + ' + t + stop + : + 42 + times + !
+             (2, ""), (3, "abc123...xyz")],  # abc + 123 + ... + xyz
+            "doc_id long, text string")
+        out = token_count_bpe(df).toPandas().set_index("doc_id").n_tokens_bpe
+        assert out[1] == 8 and out[2] == 0 and out[3] == 4
+
     def test_quality_monotone_in_length(self, spark):
         df = spark.createDataFrame(
             [(1, "the and of to in is that it for was good text here"),
