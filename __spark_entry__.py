@@ -671,6 +671,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return near_dup_groups(_flat_docs(spark, sf_dir), threshold=0.5)
 
+    def q_adaptive_index(spark, sf_dir):
+        from geodistpy_spark.operators import adaptive_cell_index
+
+        out = adaptive_cell_index(_cand_points(spark, sf_dir),
+                                  max_per_cell=25, min_res=2, max_res=6)
+        return out.select("cand_id",
+                          F.col("a_res").cast("long").alias("a_res"),
+                          F.col("a_cell").cast("long").alias("a_cell"))
+
     def q_asof_join(spark, sf_dir):
         # every non-purchase event tagged with the user's latest prior
         # purchase (backward as-of, exact matches allowed)
@@ -753,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprints": q_rolling_fingerprints,
         "near_dup_groups": q_near_dup_groups,
         "asof_join": q_asof_join,
+        "adaptive_index": q_adaptive_index,
     }
 
 
@@ -1062,6 +1072,37 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst) "
             "SELECT src AS doc_id, min(dst) AS group_id FROM reach GROUP BY src"
         ),
+        # density-adaptive index: per-level counts from the SAME integer
+        # cell math, overfull sets, min non-overfull level per point
+        "adaptive_index": (
+            "WITH pts AS ({pts}), "
+            + ", ".join(
+                f"c{r} AS (SELECT {_cell_sql('lat', 'lon', r)} AS cell, "
+                "count(*) AS n FROM pts GROUP BY 1)"
+                for r in range(2, 7)
+            )
+            + ", ov AS ("
+            + " UNION ALL ".join(
+                f"SELECT {r} AS r, cell FROM c{r} WHERE n > 25"
+                for r in range(2, 6)
+            )
+            + "), anc AS ("
+            + " UNION ALL ".join(
+                f"SELECT cand_id, {r} AS r, {_cell_sql('lat', 'lon', r)} AS cell FROM pts"
+                for r in range(2, 6)
+            )
+            + "), fits AS (SELECT a.cand_id, min(a.r) AS a_res FROM anc a "
+            "LEFT JOIN ov ON ov.r = a.r AND ov.cell = a.cell "
+            "WHERE ov.cell IS NULL GROUP BY a.cand_id) "
+            "SELECT p.cand_id, coalesce(f.a_res, 6) AS a_res, "
+            "CASE coalesce(f.a_res, 6) "
+            + " ".join(
+                f"WHEN {r} THEN {_cell_sql('p.lat', 'p.lon', r)}"
+                for r in range(2, 7)
+            )
+            + " END AS a_cell "
+            "FROM pts p LEFT JOIN fits f ON f.cand_id = p.cand_id"
+        ).format(pts=_CAND_SQL),
         # DuckDB's NATIVE ASOF JOIN — an independent realization of the
         # engine's union-tag + window carry-forward plan
         "asof_join": (

@@ -60,8 +60,12 @@ def extract_geo_spans(docs: DataFrame, res: int | None = None) -> DataFrame:
     pts = (
         explode_spans(docs)
         .filter(F.col("kind") == "geo")
-        .withColumn("lat", F.split("text", ",").getItem(0).try_cast("double"))
-        .withColumn("lon", F.split("text", ",").getItem(1).try_cast("double"))
+        # F.get (not getItem): ANSI-safe NULL on malformed payloads with
+        # no comma — Catalyst may evaluate the projection before the kind
+        # filter (observed via a downstream explode plan), and getItem
+        # throws INVALID_ARRAY_INDEX there
+        .withColumn("lat", F.get(F.split("text", ","), 0).try_cast("double"))
+        .withColumn("lon", F.get(F.split("text", ","), 1).try_cast("double"))
         .filter(
             F.col("lat").isNotNull() & F.col("lon").isNotNull()
             & F.col("lat").between(-90.0, 90.0)
@@ -81,8 +85,8 @@ def extract_media_spans(docs: DataFrame) -> DataFrame:
     return (
         explode_spans(docs)
         .filter(F.col("kind") == "media")
-        .withColumn("media_scheme", F.split("media_ref", "://").getItem(0))
-        .withColumn("media_key", F.split("media_ref", "://").getItem(1))
+        .withColumn("media_scheme", F.get(F.split("media_ref", "://"), 0))
+        .withColumn("media_key", F.get(F.split("media_ref", "://"), 1))
         .select("doc_id", "span_idx", "media_ref", "media_scheme", "media_key", "offset")
     )
 

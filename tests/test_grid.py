@@ -108,6 +108,32 @@ class TestCoverConservative:
         res, _ = G.cell_cover(89.99, 45.0, 1_000.0, res=14)
         assert res == 14  # caller-forced resolution is respected
 
+    def test_adaptive_cell_index_invariants(self, spark, places):
+        # density-adaptive index: (a) each point's adaptive cell contains
+        # it; (b) the chosen cell is NOT overfull unless clamped at
+        # max_res; (c) minimal depth: the parent level IS overfull
+        from geodistpy_spark.operators import adaptive_cell_index
+
+        thr, rmin, rmax = 30, 2, 9
+        out = adaptive_cell_index(places, max_per_cell=thr,
+                                  min_res=rmin, max_res=rmax).toPandas()
+        assert len(out) == places.count()
+        assert out.a_res.between(rmin, rmax).all()
+        # brute-force level counts
+        counts = {}
+        for r in range(rmin, rmax + 1):
+            cid = G.cell_id_np(out.lat.values, out.lon.values, r)
+            vals, cnts = np.unique(cid, return_counts=True)
+            counts[r] = dict(zip(vals.tolist(), cnts.tolist()))
+        for _, row in out.iterrows():
+            r, c = int(row.a_res), int(row.a_cell)
+            assert G.cell_id(row.lat, row.lon, r) == c          # (a)
+            if r < rmax:
+                assert counts[r][c] <= thr                      # (b)
+            if r > rmin:
+                parent = G.parent_cell(c, r, r - 1)
+                assert counts[r - 1][parent] > thr              # (c)
+
     def test_pick_resolution_monotone(self):
         rs = [G.pick_resolution(r) for r in (100, 1e4, 1e6, 1e7)]
         assert rs == sorted(rs, reverse=True)
