@@ -523,6 +523,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return m.select("doc_id", F.col("span_idx").cast("long").alias("span_idx"),
                         "media_key")
 
+    def q_geotag_spans(spark, sf_dir):
+        from geodistpy_spark.sources.documents import geotag_text_spans
+
+        out = geotag_text_spans(_fixture_docs(spark))
+        return out.select(
+            "doc_id", F.col("span_idx").cast("long").alias("span_idx"),
+            F.col("geo_offset").cast("long").alias("geo_offset"),
+            "lat", "lon")
+
     def q_doc_cell_histogram(spark, sf_dir):
         docs = _fixture_docs(spark)
         geo = extract_geo_spans(docs, res=6)
@@ -740,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_fingerprint": q_span_fingerprint,
         "media_span_meta": q_media_span_meta,
         "doc_cell_histogram": q_doc_cell_histogram,
+        "geotag_spans": q_geotag_spans,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "lsh_pairs": q_lsh_pairs,
@@ -893,6 +903,22 @@ def oracle_sql() -> dict[str, str]:
             f"{span_cte} SELECT doc_id, span_idx, "
             "split_part(span.media_ref, '://', 2) AS media_key "
             "FROM s WHERE span.kind = 'media'"
+        ),
+        # interleaved-payload geotag: DuckDB's native ASOF JOIN per doc
+        # over span offsets, independent of the engine's window plan
+        "geotag_spans": (
+            f"{span_cte}, "
+            "t AS (SELECT doc_id, span_idx, span.offset AS offset FROM s "
+            "WHERE span.kind = 'text'), "
+            "g AS (SELECT doc_id, span.offset AS goff, "
+            "TRY_CAST(split_part(span.text, ',', 1) AS DOUBLE) AS lat, "
+            "TRY_CAST(split_part(span.text, ',', 2) AS DOUBLE) AS lon "
+            "FROM s WHERE span.kind = 'geo' "
+            "AND TRY_CAST(split_part(span.text, ',', 1) AS DOUBLE) BETWEEN -9e1 AND 9e1 "
+            "AND TRY_CAST(split_part(span.text, ',', 2) AS DOUBLE) BETWEEN -1.8e2 AND 1.8e2) "
+            "SELECT t.doc_id, t.span_idx, CAST(g.goff AS BIGINT) AS geo_offset, "
+            "g.lat, g.lon "
+            "FROM t ASOF LEFT JOIN g ON t.doc_id = g.doc_id AND t.offset >= g.goff"
         ),
         "doc_cell_histogram": (
             f"{span_cte} SELECT {_cell_sql('lat', 'lon', 6)} AS cell, count(*) AS n FROM ("

@@ -116,6 +116,39 @@ def reassemble_spans(spans: DataFrame) -> DataFrame:
     )
 
 
+def geotag_text_spans(docs: DataFrame) -> DataFrame:
+    """Attach to every TEXT span the nearest PRECEDING geo span of the
+    same document (by byte offset) — the canonical interleaved-payload
+    operation: text chunks inherit the geographic context established
+    earlier in the document.
+
+    Composed from the engine's as-of join keyed on doc_id over span
+    offsets (one shuffle, no per-document loops). Text spans before any
+    geo span keep nulls. Output: (doc_id, span_idx, offset, text,
+    geo_offset, lat, lon).
+    """
+    from ..operators.temporal import asof_join
+
+    sp = explode_spans(docs)
+    text = sp.filter(F.col("kind") == "text").select(
+        "doc_id", "span_idx", "offset", "text")
+    geo = (
+        sp.filter(F.col("kind") == "geo")
+        .withColumn("lat", F.get(F.split("text", ","), 0).try_cast("double"))
+        .withColumn("lon", F.get(F.split("text", ","), 1).try_cast("double"))
+        .filter(F.col("lat").between(-90.0, 90.0) & F.col("lon").between(-180.0, 180.0))
+        .select("doc_id", "offset", "lat", "lon")
+    )
+    out = asof_join(text, geo, on="doc_id", left_ts="offset", right_ts="offset",
+                    suffix="_g")
+    return out.select(
+        "doc_id", "span_idx", "offset", "text",
+        F.col("offset_g").alias("geo_offset"),
+        F.col("lat_g").alias("lat"),
+        F.col("lon_g").alias("lon"),
+    )
+
+
 def span_fingerprint(docs: DataFrame) -> DataFrame:
     """(doc_id, n_spans, span_fp) — md5 over the ordered
     (kind, text, media_ref) sequence. Two documents have equal

@@ -54,6 +54,27 @@ class TestExtraction:
         assert len(geo) == 1 and geo.lat.iloc[0] == 10.0
 
 
+class TestGeotag:
+    def test_nearest_preceding_geo_attaches(self, spark):
+        from geodistpy_spark.sources.documents import geotag_text_spans
+
+        docs = spark.createDataFrame(
+            [("d1", [
+                {"kind": "text", "text": "before any geo", "media_ref": None, "offset": 0},
+                {"kind": "geo", "text": "10.0,20.0", "media_ref": None, "offset": 10},
+                {"kind": "text", "text": "near first geo", "media_ref": None, "offset": 20},
+                {"kind": "geo", "text": "30.0,40.0", "media_ref": None, "offset": 30},
+                {"kind": "media", "text": None, "media_ref": "media://x", "offset": 35},
+                {"kind": "text", "text": "after second geo", "media_ref": None, "offset": 40},
+            ])],
+            "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>")
+        out = geotag_text_spans(docs).toPandas().set_index("span_idx")
+        assert np.isnan(out.loc[0].lat)                      # before any geo
+        assert out.loc[2].lat == 10.0 and out.loc[2].lon == 20.0
+        assert out.loc[5].lat == 30.0 and out.loc[5].lon == 40.0
+        assert out.loc[5].geo_offset == 30
+
+
 class TestSpanInvariant:
     """The per-row invariant vs the reference: span-sequence equality
     (kind, text, media_ref, order) through extract -> index -> join ->
