@@ -62,6 +62,62 @@ def cells_to_partitions(cover_cells: list[int], res: int, partition_res: int) ->
     return sorted(parts)
 
 
+def write_adaptive_partitioned(df: DataFrame, path: str,
+                               lat_col: str = "lat", lon_col: str = "lon",
+                               max_per_cell: int = 100_000,
+                               min_res: int = 2, max_res: int = 12,
+                               mode: str = "overwrite") -> None:
+    """Write points hive-partitioned by their DENSITY-ADAPTIVE cell
+    (operators.indexing.adaptive_cell_index): every partition holds at
+    most ~max_per_cell rows regardless of how skewed the corpus is —
+    urban mega-cells split fine, oceans stay coarse — so file sizes are
+    balanced by construction (the fixed-res layout leaves a Tokyo
+    partition 1000x an ocean partition).
+    """
+    from ..operators.indexing import adaptive_cell_index
+
+    out = adaptive_cell_index(df, lat_col, lon_col, max_per_cell,
+                              min_res, max_res)
+    (
+        out.repartition("a_res", "a_cell")
+        .sortWithinPartitions("a_res", "a_cell")
+        .write.mode(mode).partitionBy("a_res", "a_cell").parquet(path)
+    )
+
+
+def adaptive_partitions_for_cover(spark: SparkSession, path: str,
+                                  cover_cells: list[int], res: int) -> list[tuple[int, int]]:
+    """(a_res, a_cell) partition values of an adaptive layout that can
+    contain points of the given cover (cells at ``res``): an adaptive
+    cell matches iff it is an ancestor or a descendant of a cover cell.
+    The partition listing is read from the written metadata (one cheap
+    distinct over partition columns — file-listing only, no row data).
+    """
+    parts = [
+        (int(r["a_res"]), int(r["a_cell"]))
+        for r in spark.read.parquet(path).select("a_res", "a_cell").distinct().collect()
+    ]
+    cover = set(cover_cells)
+    out = []
+    for a_res, a_cell in parts:
+        if a_res <= res:
+            # cover cell's ancestor at a_res must equal a_cell
+            if any(parent_of(c, res, a_res) == a_cell for c in cover):
+                out.append((a_res, a_cell))
+        else:
+            # adaptive cell's ancestor at res must be a cover cell
+            if parent_of(a_cell, a_res, res) in cover:
+                out.append((a_res, a_cell))
+    return sorted(out)
+
+
+def parent_of(cell: int, res: int, parent_res: int) -> int:
+    n = 1 << res
+    y, x = divmod(cell, n)
+    shift = res - parent_res
+    return (y >> shift) * (1 << parent_res) + (x >> shift)
+
+
 def write_documents(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Write an interleaved documents table (schema-checked)."""
     got = {f.name for f in df.schema.fields}

@@ -3,6 +3,7 @@
 import numpy as np
 
 from geodistpy_spark import grid as G
+from geodistpy_spark import kernels as K
 from geodistpy_spark.sources.io import (
     cells_to_partitions,
     read_cell_partitioned,
@@ -55,6 +56,36 @@ class TestCellPartitionedLayout:
         back = read_cell_partitioned(spark, path).toPandas()
         exp = G.cell_id_np(back.lat.values, back.lon.values, 10)
         assert (back.cell_r10.values == exp).all()
+
+
+class TestAdaptiveLayout:
+    def test_balanced_partitions_and_pruned_read(self, spark, places, tmp_path):
+        from geodistpy_spark.sources.io import (
+            adaptive_partitions_for_cover,
+            write_adaptive_partitioned,
+        )
+
+        path = str(tmp_path / "adaptive")
+        write_adaptive_partitioned(places, path, max_per_cell=40,
+                                   min_res=2, max_res=10)
+        back = read_cell_partitioned(spark, path)
+        assert back.count() == places.count()
+        # balance guarantee: no non-clamped partition exceeds the cap
+        sizes = back.filter("a_res < 10").groupBy("a_res", "a_cell").count().toPandas()
+        assert (sizes["count"] <= 40).all()
+
+        # pruned read must still contain every in-radius point
+        res, cover = G.cell_cover(48.85, 2.35, 500_000.0)
+        parts = adaptive_partitions_for_cover(spark, path, cover, res)
+        assert 0 < len(parts) < len(
+            back.select("a_res", "a_cell").distinct().collect())
+        cond = " OR ".join(f"(a_res = {r} AND a_cell = {c})" for r, c in parts)
+        pruned = back.filter(cond).toPandas()
+        pl = places.toPandas()
+        d = K.geodesic_inverse(np.full(len(pl), 48.85), np.full(len(pl), 2.35),
+                               pl.lat.values, pl.lon.values)
+        in_radius = set(pl.place_id[d <= 500_000.0])
+        assert in_radius <= set(pruned.place_id)
 
 
 class TestBucketedLayout:
