@@ -111,6 +111,31 @@ def adaptive_partitions_for_cover(spark: SparkSession, path: str,
     return sorted(out)
 
 
+def read_adaptive_for_radius(spark: SparkSession, path: str,
+                             center: tuple[float, float], radius_m: float) -> DataFrame:
+    """Read ONLY the adaptive partitions a radius query can touch, with
+    the partition predicate pushed to the file listing. Compose with
+    operators.radius.point_in_radius for the exact refine:
+
+        pts = read_adaptive_for_radius(spark, path, (48.85, 2.35), 1e5)
+        hits = point_in_radius(pts, (48.85, 2.35), 1e5)
+    """
+    from .. import grid
+
+    res, cover = grid.cell_cover(center[0], center[1], radius_m)
+    parts = adaptive_partitions_for_cover(spark, path, cover, res)
+    df = spark.read.parquet(path)
+    if not parts:
+        return df.limit(0)
+    from pyspark.sql import functions as F
+
+    cond = None
+    for r, c in parts:
+        clause = (F.col("a_res") == r) & (F.col("a_cell") == c)
+        cond = clause if cond is None else (cond | clause)
+    return df.filter(cond)
+
+
 def parent_of(cell: int, res: int, parent_res: int) -> int:
     n = 1 << res
     y, x = divmod(cell, n)

@@ -87,6 +87,18 @@ class TestAdaptiveLayout:
         in_radius = set(pl.place_id[d <= 500_000.0])
         assert in_radius <= set(pruned.place_id)
 
+        # the end-to-end helper: pruned read -> exact refine == brute force
+        from geodistpy_spark.operators import point_in_radius
+        from geodistpy_spark.sources.io import read_adaptive_for_radius
+
+        pts = read_adaptive_for_radius(spark, path, (48.85, 2.35), 500_000.0)
+        hits = point_in_radius(pts, (48.85, 2.35), 500_000.0).toPandas()
+        assert set(hits.place_id) == in_radius
+        # partition filter reaches the scan (PartitionFilters, not a
+        # post-scan row filter)
+        plan = pts._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan and "a_res" in plan.split("PartitionFilters")[1][:200]
+
 
 class TestBucketedLayout:
     def test_colocated_join_no_shuffle(self, spark, places, tmp_path):
