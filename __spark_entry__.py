@@ -574,6 +574,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("quality", 6).alias("q"),
         )
 
+    def q_trigram_logprob(spark, sf_dir):
+        from geodistpy_spark.textops import trigram_logprob
+
+        out = trigram_logprob(_flat_docs(spark, sf_dir))
+        return out.select("doc_id", F.round("tri_logprob", 6).alias("tri_lp"))
+
     def q_bpe_tokens(spark, sf_dir):
         from geodistpy_spark.textops import token_count_bpe
 
@@ -757,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "token_quality": q_token_quality,
         "bpe_tokens": q_bpe_tokens,
+        "trigram_logprob": q_trigram_logprob,
         "language_id": q_language_id,
         "doc_fingerprint": q_doc_fingerprint,
         "embedding_topk": q_embedding_topk,
@@ -959,6 +966,17 @@ def oracle_sql() -> dict[str, str]:
             "(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / greatest(length(text), 1)) * 4e-1 + "
             f"least((len(list_filter(words, w -> list_contains([{stop_list}], w))) / greatest(len(words), 1)) * 4e0, 1e0) * 2e-1, 6) AS q "
             "FROM toks"
+        ),
+        "trigram_logprob": (
+            "WITH tri AS (SELECT doc_id, unnest(list_transform("
+            "generate_series(1, greatest(length(lower(text)) - 2, 0)), "
+            "i -> substring(lower(text), i, 3))) AS tg FROM documents), "
+            "c AS (SELECT tg, count(*) AS n FROM tri GROUP BY tg), "
+            "t AS (SELECT sum(n) AS tot FROM c), "
+            "s AS (SELECT tri.doc_id, avg(ln(c.n / t.tot)) AS lp "
+            "FROM tri JOIN c ON c.tg = tri.tg CROSS JOIN t GROUP BY tri.doc_id) "
+            "SELECT d.doc_id, round(s.lp, 6) AS tri_lp "
+            "FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id"
         ),
         "bpe_tokens": (
             "SELECT doc_id, CAST(len(regexp_extract_all(text, "

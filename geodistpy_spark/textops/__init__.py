@@ -5,6 +5,7 @@ from .analysis import (
     rolling_fingerprints,
     token_count,
     token_count_bpe,
+    trigram_logprob,
 )
 from .ann import build_ivf_index, cosine_topk, ivf_topk, train_centroids
 from .dedup import (
@@ -27,7 +28,7 @@ from .multimodal import decode_media, fetch_media_bytes, media_feature_pipeline
 
 __all__ = [
     "doc_fingerprint", "language_id", "quality_score", "rolling_fingerprints",
-    "token_count", "token_count_bpe", "build_ivf_index", "cosine_topk", "ivf_topk", "train_centroids", "dedup_exact",
+    "token_count", "token_count_bpe", "trigram_logprob", "build_ivf_index", "cosine_topk", "ivf_topk", "train_centroids", "dedup_exact",
     "embedding_near_pairs", "exact_duplicates", "lsh_candidate_pairs",
     "minhash_signatures", "connected_components", "near_dup_groups", "dedup_near",
     "near_duplicates_minhash", "ngram_jaccard",

@@ -43,6 +43,44 @@ def token_count_bpe(df: DataFrame, text_col: str = "text",
         out, F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), F.lit(0))))
 
 
+def trigram_logprob(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    out: str = "tri_logprob") -> DataFrame:
+    """Perplexity-style quality signal: mean ln-probability of a doc's
+    character trigrams under the CORPUS's own trigram distribution
+    (KenLM-style filtering without external models — gibberish and
+    boilerplate score far from the corpus mode).
+
+    Plan: one explode to (doc, trigram) rows, one global count agg
+    (map-side combined; trigram vocab is bounded ~ charset^3), one join
+    back (the count table is small -> broadcast), one per-doc avg.
+    Self-scoring means every trigram is observed (no smoothing branch).
+    Docs shorter than 3 chars get NULL.
+    """
+    tri = df.select(
+        F.col(id_col),
+        F.explode(
+            # size guard: Spark's sequence(1, 0) is DESCENDING [1, 0]
+            F.expr(
+                f"CASE WHEN length(lower({text_col})) >= 3 THEN "
+                f"transform(sequence(1, length(lower({text_col})) - 2), "
+                f"i -> substring(lower({text_col}), i, 3)) "
+                "ELSE array() END"
+            )
+        ).alias("tg"),
+    )
+    counts = tri.groupBy("tg").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("tot"))
+    scored = (
+        tri.join(F.broadcast(counts), on="tg")
+        .crossJoin(F.broadcast(total))
+        .select(id_col, (F.log(F.col("n") / F.col("tot"))).alias("__lp"))
+        .groupBy(id_col)
+        .agg(F.avg("__lp").alias(out))
+    )
+    return df.select(id_col).join(scored, on=id_col, how="left")
+
+
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality features + composite score:
 

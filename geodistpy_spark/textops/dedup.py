@@ -32,13 +32,21 @@ def tokenize(df: DataFrame, text_col: str = "text", out: str = "words") -> DataF
 
 def shingles(df: DataFrame, text_col: str = "text", k: int = 3,
              out: str = "shingle") -> DataFrame:
-    """Word k-gram shingles, one row per (doc, distinct shingle)."""
+    """Word k-gram shingles, one row per (doc, distinct shingle).
+    Documents with fewer than k words yield no rows (the explicit
+    size guard matters: Spark's ``sequence(1, 0)`` is the DESCENDING
+    [1, 0], so the unguarded transform crashes ``slice`` at start=0 on
+    short docs — and DuckDB's ``generate_series(1, 0)`` is empty, so
+    the guard also keeps the oracle semantics identical).
+    """
     toks = tokenize(df, text_col)
     sh = toks.withColumn(
         "__sh",
         F.expr(
-            f"transform(sequence(1, greatest(size(words) - {k - 1}, 0)), "
-            f"i -> concat_ws(' ', slice(words, i, {k})))"
+            f"CASE WHEN size(words) >= {k} THEN "
+            f"transform(sequence(1, size(words) - {k - 1}), "
+            f"i -> concat_ws(' ', slice(words, i, {k}))) "
+            "ELSE array() END"
         ),
     )
     return (

@@ -94,6 +94,20 @@ class TestDedup:
         kept = dedup_near(df, threshold=0.5).toPandas()
         assert sorted(kept.doc_id) == [10, 40]
 
+    def test_short_docs_dont_crash_the_pipelines(self, spark):
+        # Spark's sequence(1, 0) is DESCENDING [1, 0]: unguarded shingle
+        # transforms crashed slice(start=0) on sub-k-word docs (latent —
+        # the driver corpus has no short docs)
+        from geodistpy_spark.textops import shingles as mk_shingles
+
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "a"), (3, ""), (4, "one two three four")],
+            "doc_id long, text string")
+        sh = mk_shingles(df).toPandas()
+        assert set(sh.doc_id) == {4}           # only the >=3-word doc
+        nd = near_duplicates_minhash(df, threshold=0.1).toPandas()
+        assert len(nd) == 0                    # and the full pipeline survives
+
     def test_empty_inputs_dont_crash(self, spark):
         # empty-corpus robustness across the dedup surface
         from geodistpy_spark.textops import embedding_near_pairs
@@ -229,6 +243,18 @@ class TestAnalysis:
             "doc_id long, text string")
         out = token_count_bpe(df).toPandas().set_index("doc_id").n_tokens_bpe
         assert out[1] == 8 and out[2] == 0 and out[3] == 4
+
+    def test_trigram_logprob_flags_gibberish(self, spark):
+        from geodistpy_spark.textops import trigram_logprob
+
+        normal = "the quick brown fox jumps over the lazy dog and then the other"
+        rows = ([(i, normal + f" variant {i}") for i in range(20)]
+                + [(99, "qzx jqv wxk zzq vqk xjz")]   # gibberish
+                + [(100, "ab")])                       # too short -> null
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = trigram_logprob(df).toPandas().set_index("doc_id").tri_logprob
+        assert out[99] < out[0] - 1.0   # corpus-atypical scores far lower
+        assert np.isnan(out[100])       # < 3 chars -> no trigrams
 
     def test_quality_monotone_in_length(self, spark):
         df = spark.createDataFrame(
