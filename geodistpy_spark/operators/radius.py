@@ -122,6 +122,8 @@ def radius_join(queries: DataFrame, candidates: DataFrame, radius,
     dense-cell skew beyond what AQE skew-join handles.
     """
     radius_m = float(radius) / unit_factor(metric)
+    if radius_m < 0:
+        raise ValueError(f"radius must be >= 0, got {radius}")  # same contract as point_in_radius
     cres = res if res is not None else grid.pick_resolution(radius_m)
 
     cov = _cover_cells_udf(radius_m, cres)
