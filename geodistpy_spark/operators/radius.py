@@ -120,6 +120,12 @@ def radius_join(queries: DataFrame, candidates: DataFrame, radius,
     cover (default: let Catalyst/AQE decide). ``salt``: replicate the
     query side salt-ways and split candidate rows among salts — for
     dense-cell skew beyond what AQE skew-join handles.
+
+    Polar note: a query whose cap contains a pole emits FULL longitude
+    rows at the call's resolution (the quad grid has no polar closure),
+    so polar-heavy query sets should pass an explicitly coarser ``res``
+    — the single-center path (grid.cell_cover) coarsens automatically,
+    but here the resolution is shared by the whole query set.
     """
     radius_m = float(radius) / unit_factor(metric)
     if radius_m < 0:
