@@ -132,6 +132,45 @@ def pick_resolution(radius_m: float, max_cover: int = 512) -> int:
 MIN_CURVATURE_RADIUS_M = 6_330_000.0
 
 
+def polar_cap_cells(lat: float, lon: float, sigma: float, res: int,
+                    y_lo: int, y_hi: int) -> list[int]:
+    """Cells of a pole-containing spherical cap with PER-ROW longitude
+    spans: inside a pole-cap the boundary's longitude half-width grows
+    monotonically toward the pole (full circle past
+    phi_full = pi - |lat| - sigma), so the row edge NEAREST the pole
+    bounds the whole row — conservative. Round-1 emitted all 2^res
+    longitudes for EVERY row (16k cells for 1 km at lat 89.99, res 14).
+    South caps are handled by mirroring latitudes; a cap containing both
+    poles is the whole band.
+    """
+    n = nx(res)
+    sigma_deg = math.degrees(sigma)
+    if (sigma_deg - abs(lat)) >= 90.0:  # both poles: full band
+        return [y * n + x for y in range(y_lo, y_hi + 1) for x in range(n)]
+    north = lat >= 0.0
+    alat = abs(math.radians(lat))
+    phi_full = math.pi - alat - sigma  # full-circle latitude (mirrored frame)
+    cells: list[int] = []
+    for y in range(y_lo, y_hi + 1):
+        # row's pole-nearest edge, mirrored into the north frame
+        if north:
+            edge = -90.0 + 180.0 * (y + 1) / n
+        else:
+            edge = -(-90.0 + 180.0 * y / n)
+        phi_e = math.radians(min(max(edge, -90.0), 90.0))
+        if phi_e >= phi_full:
+            span = n
+            lo_x = 0
+        else:
+            num = math.cos(sigma) - math.sin(phi_e) * math.sin(alat)
+            c = num / max(math.cos(phi_e) * math.cos(alat), 1e-300)
+            dl = math.degrees(math.acos(min(max(c, -1.0), 1.0)))
+            span = min(int(math.ceil(2.0 * dl / (360.0 / n))) + 2, n)
+            lo_x = int(math.floor(((lon - dl + 180.0) % 360.0) / 360.0 * n))
+        cells.extend(y * n + ((lo_x + i) % n) for i in range(span))
+    return sorted(set(cells))
+
+
 def cell_cover(lat: float, lon: float, radius_m: float, res: int | None = None,
                margin: float = 1.002, max_cover: int = 2048) -> tuple[int, list[int]]:
     """Conservative disk cover: every point whose geodesic distance to
@@ -170,9 +209,11 @@ def cell_cover(lat: float, lon: float, radius_m: float, res: int | None = None,
 
         pole_in_cap = (abs(lat) + sigma_deg) >= 90.0
         if pole_in_cap:
-            span = n
-            lo_x = 0
-            dlam_deg = 180.0
+            cells = polar_cap_cells(lat, lon, sigma, res, y_lo, y_hi)
+            if auto and res > 0 and len(cells) > max_cover:
+                res -= 1
+                continue
+            return res, cells
         else:
             sin_ratio = math.sin(sigma) / max(math.cos(math.radians(lat)), 1e-15)
             dlam_deg = math.degrees(math.asin(min(sin_ratio, 1.0)))

@@ -150,6 +150,12 @@ def _cover_cells_var_udf(res: int, margin: float = 1.002):
         lo_x = np.where(pole, 0, lo_x)
         out = []
         for i in range(len(la)):
+            if pole[i]:
+                # per-row spans near the pole (grid.polar_cap_cells)
+                out.append(np.asarray(grid.polar_cap_cells(
+                    float(la[i]), float(lo[i]), float(sigma[i]), res,
+                    int(y_lo[i]), int(y_hi[i])), dtype=np.int64))
+                continue
             ys = np.arange(y_lo[i], y_hi[i] + 1, dtype=np.int64)
             xs = (lo_x[i] + np.arange(span[i], dtype=np.int64)) % n
             out.append((ys[:, None] * n + xs[None, :]).ravel())

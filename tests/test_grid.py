@@ -89,6 +89,33 @@ class TestCoverConservative:
         top_row = {(n - 1) * n + x for x in range(n)}
         assert top_row <= set(cover)  # full top row present
 
+    def test_polar_per_row_spans_conservative_and_small(self):
+        # randomized pole-cap covers: every in-radius point must land in
+        # a covered cell, and the per-row spans must beat full rows
+        rng = np.random.default_rng(31)
+        for trial in range(40):
+            lat = float(rng.uniform(80, 90)) * (1 if trial % 2 else -1)
+            lon = float(rng.uniform(-180, 180))
+            radius = float(rng.uniform(5e3, 3e6))
+            res = int(rng.integers(4, 11))
+            _, cover = G.cell_cover(lat, lon, radius, res=res)
+            cover_set = set(cover)
+            az = rng.uniform(0, 360, 60)
+            frac = np.concatenate([rng.uniform(0, 1, 50), np.full(10, 1.0)])
+            pla, plo, _ = K.vincenty_direct(np.full(60, lat), np.full(60, lon),
+                                            az, radius * frac * 0.999)
+            cids = G.cell_id_np(pla, plo, res)
+            assert all(c in cover_set for c in cids), (lat, lon, radius, res)
+        # size win vs the round-1 full-row emission: the cover now tracks
+        # the true cap (rows above phi_full legitimately span ALL
+        # longitudes, so the win is bounded by the real cap area —
+        # measured 44k vs 94k cells here)
+        res, cover = G.cell_cover(89.9, 0.0, 50_000.0, res=12)
+        n = 1 << res
+        sigma_deg = np.degrees(50_000.0 * 1.002 / G.MIN_CURVATURE_RADIUS_M)
+        rows = int(np.ceil(2 * sigma_deg / (180.0 / n))) + 2
+        assert len(cover) < 0.6 * rows * n
+
     def test_polar_cover_bounded_and_conservative(self):
         # 1 km at lat 89.99 exploded to ~16k cells at res 14 in round 1;
         # auto-res must coarsen until the cover is bounded yet still
