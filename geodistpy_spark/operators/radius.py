@@ -128,11 +128,11 @@ def radius_join(queries: DataFrame, candidates: DataFrame, radius,
     query side salt-ways and split candidate rows among salts — for
     dense-cell skew beyond what AQE skew-join handles.
 
-    Polar note: a query whose cap contains a pole emits FULL longitude
-    rows at the call's resolution (the quad grid has no polar closure),
-    so polar-heavy query sets should pass an explicitly coarser ``res``
-    — the single-center path (grid.cell_cover) coarsens automatically,
-    but here the resolution is shared by the whole query set.
+    Polar note: pole-containing caps get PER-ROW longitude spans
+    (grid.polar_cap_cells) — full rows only where the cap genuinely
+    spans all longitudes — so polar queries stay proportional to the
+    true cap area (which near a pole is inherently many lat/lon cells;
+    that distortion is the quad grid's trade-off vs H3/S2).
     """
     radius_m = float(radius) / unit_factor(metric)
     if radius_m < 0:
