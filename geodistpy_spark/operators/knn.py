@@ -246,10 +246,16 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
     span_cap = max(int(math.sqrt(max_cover_cells)), 3)
     r_cap = min(span_cap / 2.0 * (2.0e7 / grid.nx(res)), GLOBE_M)
 
+    # invalid/null query coordinates yield NO rows for that query (the
+    # SQL-consistent analog of the reference's coordinate validation —
+    # unfiltered they would rank candidates by NaN distances)
     qr = queries.select(
         F.col(q_id),
         F.col(q_lat).alias("__qlat"),
         F.col(q_lon).alias("__qlon"),
+    ).filter(
+        F.col("__qlat").between(-90.0, 90.0) & F.col("__qlon").between(-180.0, 180.0)
+        & ~F.isnan("__qlat") & ~F.isnan("__qlon")
     )
     if r0_m is not None:
         qr = qr.withColumn("__r", F.lit(min(float(r0_m), r_cap)))
