@@ -334,6 +334,8 @@ def geodesic_knn(df: DataFrame, point: tuple[float, float], k: int,
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     clat, clon = float(point[0]), float(point[1])
+    if not -90.0 <= clat <= 90.0 or not -180.0 <= clon <= 180.0:
+        raise ValueError(f"point out of range: {point}")  # reference contract
     spark = df.sparkSession
     q = spark.createDataFrame([(0, clat, clon)], "__q long, __la double, __lo double")
     res = knn_join(

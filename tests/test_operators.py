@@ -221,6 +221,18 @@ class TestKnn:
                    .select("place_id").toPandas().place_id.tolist())
             assert sorted(got) == [3, 7, 11]
 
+    def test_knn_join_invalid_query_coords_excluded(self, spark):
+        q = spark.createDataFrame(
+            [(1, 10.0, 20.0), (2, None, 20.0), (3, 95.0, 20.0), (4, float("nan"), 20.0)],
+            "query_id long, q_lat double, q_lon double")
+        cand = spark.createDataFrame(
+            [(i, 10.0 + i * 0.01, 20.0) for i in range(30)],
+            "cid long, lat double, lon double")
+        out = knn_join(q, cand, 2, c_id="cid").toPandas()
+        assert set(out.query_id) == {1}  # null / out-of-range / NaN dropped
+        with pytest.raises(ValueError, match="out of range"):
+            geodesic_knn(cand, (95.0, 20.0), 2, id_col="cid")
+
     def test_knn_join_k_exceeds_candidates_raises(self, spark):
         cand = spark.createDataFrame([(1, 0.0, 0.0)], "place_id long, lat double, lon double")
         queries = spark.createDataFrame([(1, 1.0, 1.0)],
