@@ -686,6 +686,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return near_dup_groups(_flat_docs(spark, sf_dir), threshold=0.5)
 
+    def q_cell_density_smooth(spark, sf_dir):
+        from geodistpy_spark.operators import cell_density_smooth
+
+        out = cell_density_smooth(_cand_points(spark, sf_dir), res=5, k=1)
+        return out.select("cell", F.col("n").cast("long").alias("n"),
+                          F.col("n_ring").cast("long").alias("n_ring"))
+
     def q_adaptive_index(spark, sf_dir):
         from geodistpy_spark.operators import adaptive_cell_index
 
@@ -780,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_groups": q_near_dup_groups,
         "asof_join": q_asof_join,
         "adaptive_index": q_adaptive_index,
+        "cell_density_smooth": q_cell_density_smooth,
     }
 
 
@@ -1116,6 +1124,23 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst) "
             "SELECT src AS doc_id, min(dst) AS group_id FROM reach GROUP BY src"
         ),
+        # k-ring density smoothing: counted cells donate to (2k+1)^2
+        # neighbors — x wraps, y clamps (same rules as grid.k_ring)
+        "cell_density_smooth": (
+            "WITH pts AS ({pts}), "
+            f"c AS (SELECT {_cell_sql('lat', 'lon', 5)} AS cell, "
+            "count(*) AS n FROM pts GROUP BY 1), "
+            "o AS (SELECT dy, dx FROM (VALUES "
+            + ", ".join(f"({dy}, {dx})" for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+            + ") AS v(dy, dx)), "
+            "d AS (SELECT ((cell // 32) + dy) AS ny, "
+            "((((cell % 32) + dx) % 32 + 32) % 32) AS nx, n "
+            "FROM c CROSS JOIN o WHERE ((cell // 32) + dy) BETWEEN 0 AND 31), "
+            "s AS (SELECT ny * 32 + nx AS cell, CAST(sum(n) AS BIGINT) AS n_ring "
+            "FROM d GROUP BY 1) "
+            "SELECT s.cell, CAST(coalesce(c.n, 0) AS BIGINT) AS n, s.n_ring "
+            "FROM s LEFT JOIN c ON c.cell = s.cell"
+        ).format(pts=_CAND_SQL),
         # density-adaptive index: per-level counts from the SAME integer
         # cell math, overfull sets, min non-overfull level per point
         "adaptive_index": (

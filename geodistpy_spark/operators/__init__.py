@@ -15,7 +15,7 @@ from .distances import (
 )
 from .knn import geodesic_knn, knn_join
 from .temporal import asof_join
-from .indexing import adaptive_cell_index
+from .indexing import adaptive_cell_index, cell_density_smooth
 from .polygons import point_in_polygon_join, zonal_stats
 from .radius import point_in_radius, radius_join
 
@@ -23,7 +23,7 @@ __all__ = [
     "bearing", "destination", "geodist", "geodist_dimwise",
     "geodist_dimwise_haversine", "geodist_dimwise_harvesine", "geodist_matrix",
     "geodist_to_many", "greatcircle", "greatcircle_matrix", "haversine_dist", "interpolate",
-    "midpoint", "geodesic_knn", "knn_join", "asof_join", "adaptive_cell_index",
+    "midpoint", "geodesic_knn", "knn_join", "asof_join", "adaptive_cell_index", "cell_density_smooth",
     "point_in_polygon_join",
     "zonal_stats", "point_in_radius", "radius_join",
 ]

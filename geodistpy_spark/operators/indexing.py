@@ -35,6 +35,47 @@ from pyspark.sql import functions as F
 from ..functions.expressions import cell_id_col, parent_cell_col
 
 
+def cell_density_smooth(df: DataFrame, lat_col: str = "lat", lon_col: str = "lon",
+                        res: int = 6, k: int = 1,
+                        out_n: str = "n", out_smooth: str = "n_ring") -> DataFrame:
+    """Tile-layer density smoothing: per-cell point count plus the
+    k-ring neighborhood sum (Chebyshev radius ``k`` on the quad grid,
+    x wrapping at the antimeridian, y clamped at the poles — same
+    neighbor rules as grid.k_ring).
+
+    The heatmap/density primitive of the tiling layer: one count agg
+    over points, then each counted cell donates its count to its
+    (2k+1)^2 neighbors — a bounded explode over COUNTED CELLS (not
+    points) and a second tiny agg. Output: (cell, n, n_ring) where n is
+    0 for cells that only receive neighbor mass.
+    """
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    n_side = 1 << res
+    counts = (
+        df.withColumn("__cell", cell_id_col(lat_col, lon_col, res))
+        .groupBy("__cell").agg(F.count("*").alias(out_n))
+    )
+    y = F.floor(F.col("__cell") / n_side).cast("long")
+    x = (F.col("__cell") % n_side).cast("long")
+    offsets = F.array(*[
+        F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+        for dy in range(-k, k + 1) for dx in range(-k, k + 1)
+    ])
+    donated = (
+        counts.withColumn("__o", F.explode(offsets))
+        .withColumn("__ny", y + F.col("__o.dy"))
+        .filter(F.col("__ny").between(0, n_side - 1))  # y clamps: rows past a pole don't exist
+        .withColumn("__nx", F.pmod(x + F.col("__o.dx"), F.lit(n_side)))  # x wraps
+        .groupBy((F.col("__ny") * n_side + F.col("__nx")).alias("cell"))
+        .agg(F.sum(out_n).alias(out_smooth))
+    )
+    return (
+        donated.join(counts.withColumnRenamed("__cell", "cell"), on="cell", how="left")
+        .select("cell", F.coalesce(F.col(out_n), F.lit(0)).alias(out_n), out_smooth)
+    )
+
+
 def adaptive_cell_index(df: DataFrame, lat_col: str = "lat", lon_col: str = "lon",
                         max_per_cell: int = 1000,
                         min_res: int = 2, max_res: int = 12,

@@ -135,6 +135,29 @@ class TestCoverConservative:
         res, _ = G.cell_cover(89.99, 45.0, 1_000.0, res=14)
         assert res == 14  # caller-forced resolution is respected
 
+    def test_cell_density_smooth_matches_brute(self, spark, places):
+        from geodistpy_spark.operators import cell_density_smooth
+
+        res, k = 4, 2
+        out = cell_density_smooth(places, res=res, k=k).toPandas().set_index("cell")
+        pl = places.toPandas()
+        cids = G.cell_id_np(pl.lat.values, pl.lon.values, res)
+        vals, cnts = np.unique(cids, return_counts=True)
+        counts = dict(zip(vals.tolist(), cnts.tolist()))
+        n = 1 << res
+        # brute: sum counts over each output cell's k-ring donors
+        for cell, row in out.iterrows():
+            y, x = divmod(int(cell), n)
+            exp = 0
+            for dy in range(-k, k + 1):
+                yy = y + dy
+                if not 0 <= yy < n:
+                    continue
+                for dx in range(-k, k + 1):
+                    exp += counts.get(yy * n + ((x + dx) % n), 0)
+            assert row.n_ring == exp, (cell, row.n_ring, exp)
+            assert row.n == counts.get(int(cell), 0)
+
     def test_adaptive_cell_index_invariants(self, spark, places):
         # density-adaptive index: (a) each point's adaptive cell contains
         # it; (b) the chosen cell is NOT overfull unless clamped at
