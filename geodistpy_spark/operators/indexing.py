@@ -52,6 +52,11 @@ def cell_density_smooth(df: DataFrame, lat_col: str = "lat", lon_col: str = "lon
     if k < 0:
         raise ValueError(f"k must be >= 0, got {k}")
     n_side = 1 << res
+    if 2 * k + 1 > n_side:
+        # a ring wider than the grid would wrap onto itself and
+        # double-count donors (grid.k_ring dedups; the donation agg
+        # cannot without a per-source distinct)
+        raise ValueError(f"ring width 2k+1={2*k+1} exceeds grid width {n_side} at res={res}")
     counts = (
         df.withColumn("__cell", cell_id_col(lat_col, lon_col, res))
         .groupBy("__cell").agg(F.count("*").alias(out_n))
