@@ -13,7 +13,7 @@ from .distances import (
     interpolate,
     midpoint,
 )
-from .knn import geodesic_knn, knn_join
+from .knn import candidate_histogram, geodesic_knn, knn_join
 from .temporal import asof_join
 from .indexing import adaptive_cell_index, cell_density_smooth
 from .polygons import point_in_polygon_join, zonal_stats
@@ -23,7 +23,8 @@ __all__ = [
     "bearing", "destination", "geodist", "geodist_dimwise",
     "geodist_dimwise_haversine", "geodist_dimwise_harvesine", "geodist_matrix",
     "geodist_to_many", "greatcircle", "greatcircle_matrix", "haversine_dist", "interpolate",
-    "midpoint", "geodesic_knn", "knn_join", "asof_join", "adaptive_cell_index", "cell_density_smooth",
+    "midpoint", "candidate_histogram", "geodesic_knn", "knn_join", "asof_join",
+    "adaptive_cell_index", "cell_density_smooth",
     "point_in_polygon_join",
     "zonal_stats", "point_in_radius", "radius_join",
 ]

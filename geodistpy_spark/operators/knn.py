@@ -15,7 +15,10 @@ a FIXED 3-phase plan built lazily as one DAG:
   0. one aggregation over candidates -> coarse per-cell count histogram,
      collected driver-side (bounded: <= 4^HIST_RES cells) and turned into
      an integral image. Also yields the candidate total for the k <= n
-     validation (reference distance.py:520-522).
+     validation (reference distance.py:520-522). Callers issuing many
+     joins against one candidate table precompute this once with
+     ``candidate_histogram`` and pass ``hist=`` — the join then runs a
+     single candidate scan.
   1. per-query search radius from LOCAL density (expanding block sums on
      the integral image, vectorized in one pandas UDF) -> variable-radius
      cover join -> window top-k; a query closes when it has k in-disk
@@ -65,15 +68,35 @@ GLOBE_M = 2.1e7
 HIST_RES = 6  # 64 x 64 = 4096 cells; dense int64 grid is 32 KB driver-side
 
 
-def _density_grid(candidates: DataFrame, c_lat: str, c_lon: str):
-    """(counts[n,n], total) from one aggregation over the candidates."""
+def _valid_coords(lat: str, lon: str):
+    """Rows with non-null, non-NaN, in-range coordinates (NaN fails
+    ``between`` and null propagates to null — both drop under filter)."""
+    return (
+        F.col(lat).between(-90.0, 90.0) & F.col(lon).between(-180.0, 180.0)
+        & ~F.isnan(lat) & ~F.isnan(lon)
+    )
+
+
+def candidate_histogram(candidates: DataFrame, c_lat: str = "lat",
+                        c_lon: str = "lon") -> tuple[np.ndarray, int]:
+    """(counts[n,n], total) — the coarse density histogram knn_join seeds
+    its per-query radii from, from ONE aggregation over the candidates.
+
+    Compute this once and pass it to repeated :func:`knn_join` /
+    :func:`geodesic_knn` calls via ``hist=`` so each join runs a single
+    candidate scan (the join itself) instead of two. Invalid-coordinate
+    rows are excluded, matching knn_join's own candidate filter.
+    """
     n = grid.nx(HIST_RES)
     rows = (
-        candidates.groupBy(cell_id_col(c_lat, c_lon, HIST_RES).alias("__c"))
+        candidates.filter(_valid_coords(c_lat, c_lon))
+        .groupBy(cell_id_col(c_lat, c_lon, HIST_RES).alias("__c"))
         .count().collect()
     )
     counts = np.zeros((n, n), dtype=np.int64)
     for r in rows:
+        if r["__c"] is None:
+            continue
         y, x = divmod(int(r["__c"]), n)
         counts[y, x] = r["count"]
     return counts, int(counts.sum())
@@ -122,10 +145,15 @@ def _radius_estimator_udf(counts: np.ndarray, k: int, r_cap_m: float):
     return _r_est
 
 
-def _cover_cells_var_udf(res: int, margin: float = 1.002):
+def _cover_cells_var_udf(res: int, max_cells: int, margin: float = 1.002):
     """Pandas UDF: (lat, lon, radius_m) -> array<long> cover cells at
     ``res`` — per-row radius variant of radius._cover_cells_udf, same
-    conservative spherical-cap bounding-box construction."""
+    conservative spherical-cap bounding-box construction.
+
+    Rows whose cover would exceed ``max_cells`` (pole-containing caps at
+    fine res can emit tens of thousands of cells) get an EMPTY cover —
+    the query then finds no in-disk candidates, stays open, and phase 3
+    answers it exactly; cost stays bounded, correctness unconditional."""
     n = grid.nx(res)
     cell_w = 360.0 / n
 
@@ -148,13 +176,18 @@ def _cover_cells_var_udf(res: int, margin: float = 1.002):
         span = np.where(pole | (sigma >= np.pi * 0.999), n, span)
         lo_x = np.floor(np.mod(lo - dlam + 180.0, 360.0) / 360.0 * n).astype(np.int64)
         lo_x = np.where(pole, 0, lo_x)
+        empty = np.empty(0, dtype=np.int64)
         out = []
         for i in range(len(la)):
             if pole[i]:
                 # per-row spans near the pole (grid.polar_cap_cells)
-                out.append(np.asarray(grid.polar_cap_cells(
+                cells = np.asarray(grid.polar_cap_cells(
                     float(la[i]), float(lo[i]), float(sigma[i]), res,
-                    int(y_lo[i]), int(y_hi[i])), dtype=np.int64))
+                    int(y_lo[i]), int(y_hi[i])), dtype=np.int64)
+                out.append(cells if len(cells) <= max_cells else empty)
+                continue
+            if (y_hi[i] - y_lo[i] + 1) * span[i] > max_cells:
+                out.append(empty)  # over budget -> phase 3 answers it
                 continue
             ys = np.arange(y_lo[i], y_hi[i] + 1, dtype=np.int64)
             xs = (lo_x[i] + np.arange(span[i], dtype=np.int64)) % n
@@ -167,14 +200,15 @@ def _cover_cells_var_udf(res: int, margin: float = 1.002):
 def _topk_in_radius(qr: DataFrame, cand: DataFrame, k: int, res: int,
                     ellipsoid, exact: bool,
                     q_id: str, c_lat: str, c_lon: str,
-                    order_tail, salt: int | None, out: str) -> DataFrame:
+                    order_tail, salt: int | None, out: str,
+                    max_cover_cells: int) -> DataFrame:
     """Variable-radius cover join + per-query top-k with closure count.
 
     ``qr`` carries (q_id, __qlat, __qlon, __r); output adds ``out``
     (meters), __rn (rank) and __cnt (in-disk candidates, capped at
     window evaluation) — a query is CLOSED iff __cnt >= k.
     """
-    cov = _cover_cells_var_udf(res)
+    cov = _cover_cells_var_udf(res, max_cover_cells)
     q = qr.withColumn("__cell", F.explode(cov("__qlat", "__qlon", "__r")))
 
     if salt and salt > 1:
@@ -208,19 +242,28 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
              c_lat: str = "lat", c_lon: str = "lon", c_id: str | None = None,
              r0_m: float | None = None, growth: float = 6.0,
              max_cover_cells: int = 4096,
-             salt: int | None = None, out: str = "dist") -> DataFrame:
+             salt: int | None = None, out: str = "dist",
+             hist: tuple[np.ndarray, int] | None = None) -> DataFrame:
     """Many-to-many kNN join: for every query row, its k nearest
     candidates by exact geodesic distance (``exact=False``: great-circle).
 
     See module docstring for the 3-phase plan. ``r0_m`` overrides the
     density-derived per-query radius with a constant. ``c_id`` gives the
     deterministic tie-break column (recommended; matches the reference's
-    index-stable ordering).
+    index-stable ordering). ``hist`` is an optional precomputed
+    :func:`candidate_histogram` — pass it when issuing many joins against
+    the same candidate table so each call runs a single candidate scan.
+
+    Candidate rows with null/NaN/out-of-range coordinates are ignored
+    (they can never be a nearest neighbor; unfiltered they would rank by
+    null distances in the phase-3 fallback and crash the histogram).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
 
-    counts, n_cand = _density_grid(candidates, c_lat, c_lon)
+    candidates = candidates.filter(_valid_coords(c_lat, c_lon))
+    counts, n_cand = hist if hist is not None else candidate_histogram(
+        candidates, c_lat, c_lon)
     if k > n_cand:
         raise ValueError(
             f"k={k} exceeds candidate count {n_cand} (reference contract: "
@@ -273,8 +316,8 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
 
     # phase 1: density-seeded radius
     p1 = _topk_in_radius(qr, cand, k, res, ellipsoid, exact,
-                         q_id, c_lat, c_lon, order_tail, salt, out
-                         ).filter(F.col("__rn") <= k).cache()
+                         q_id, c_lat, c_lon, order_tail, salt, out,
+                         max_cover_cells).filter(F.col("__rn") <= k).cache()
     closed1 = p1.filter(F.col("__cnt") >= k).drop(*drop_cols)
     # open set = queries with < k in-disk rows (incl. ZERO rows, which
     # never appear in p1 — hence the left join, not a semi-join)
@@ -288,8 +331,8 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
     # phase 2: growth x radius for the unclosed tail (same candidate-side
     # exchange as phase 1 -> ReusedExchange, no second scan)
     p2 = _topk_in_radius(qr2, cand, k, res, ellipsoid, exact,
-                         q_id, c_lat, c_lon, order_tail, salt, out
-                         ).filter(F.col("__rn") <= k).cache()
+                         q_id, c_lat, c_lon, order_tail, salt, out,
+                         max_cover_cells).filter(F.col("__rn") <= k).cache()
     closed2 = p2.filter(F.col("__cnt") >= k).drop(*drop_cols)
     p2s = p2.filter(F.col("__rn") == 1).select(q_id, F.col("__cnt").alias("__c2"))
 
@@ -322,7 +365,8 @@ def geodesic_knn(df: DataFrame, point: tuple[float, float], k: int,
                  lat_col: str = "lat", lon_col: str = "lon",
                  id_col: str | None = None,
                  r0_m: float | None = None,
-                 out: str = "dist") -> DataFrame:
+                 out: str = "dist",
+                 hist: tuple[np.ndarray, int] | None = None) -> DataFrame:
     """k nearest rows to ``point`` by exact geodesic distance, sorted
     ascending (reference contract distance.py:463-540 incl. the
     k-validation at :520-522).
@@ -342,6 +386,7 @@ def geodesic_knn(df: DataFrame, point: tuple[float, float], k: int,
         q, df, k, metric=metric, ellipsoid=ellipsoid, exact=True,
         q_id="__q", q_lat="__la", q_lon="__lo",
         c_lat=lat_col, c_lon=lon_col, c_id=id_col, r0_m=r0_m, out=out,
+        hist=hist,
     )
     order = [F.col(out).asc()] + ([F.col(id_col).asc()] if id_col else [])
     return res.drop("__q").orderBy(*order)

@@ -179,7 +179,12 @@ def point_in_polygon_join(points: DataFrame, polygons: DataFrame,
     left = how == "left"
     pts = points
     if left:
-        pts = pts.withColumn("__pt", F.monotonically_increasing_id())
+        # monotonically_increasing_id is NONdeterministic: base and hit
+        # below both read this plan, and a task retry / AQE re-shuffle
+        # could assign different ids per evaluation, silently mis-joining.
+        # localCheckpoint pins one materialized assignment for both
+        # subtrees (eager: runs a job here, acceptable on the left path).
+        pts = pts.withColumn("__pt", F.monotonically_increasing_id()).localCheckpoint()
     pts = pts.withColumn("__cell", cell_id_col(lat_col, lon_col, res))
     cand = pts.join(F.broadcast(pairs_df), on="__cell", how="inner")
     refine = _pip_refine_udf(prepped)

@@ -69,11 +69,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
     )
     if tolerance_s is not None:
         # materialize staleness BEFORE nulling (the matched ts is itself
-        # one of the columns being nulled)
+        # one of the columns being nulled); microsecond precision —
+        # unix_timestamp truncates to whole seconds and mis-evaluates
+        # sub-second tolerances / sub-second event data
         out = out.withColumn(
             "__stale",
-            (F.unix_timestamp(F.col(left_ts)) - F.unix_timestamp(F.col(carried[0])))
-            > F.lit(float(tolerance_s)),
+            (F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col(carried[0])))
+            > F.lit(float(tolerance_s) * 1e6),
         )
         for c in carried:
             out = out.withColumn(

@@ -64,7 +64,12 @@ def _sessionize_fn(gap_s: int):
                     closed.append((start_s, last_s, n))
                     start_s, last_s, n = t, t, 1
                 else:
-                    last_s, n = t, n + 1
+                    # cross-batch late arrival (t < last_s but above the
+                    # watermark) must not move the session anchor
+                    # BACKWARD — later gap checks would compare against
+                    # the stale anchor and mis-split
+                    start_s = min(start_s, t)
+                    last_s, n = max(last_s, t), n + 1
             state.update((start_s, last_s, n))
             # close the open session once event time passes last + gap
             state.setTimeoutTimestamp((last_s + gap_s) * 1000)

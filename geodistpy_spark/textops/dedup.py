@@ -203,7 +203,8 @@ def near_duplicates_minhash(df: DataFrame, id_col: str = "doc_id",
 
 def connected_components(nodes: DataFrame, pairs: DataFrame,
                          id_col: str = "doc_id",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         checkpoint_every: int = 8) -> DataFrame:
     """Connected components over an undirected pair graph: every node
     labeled with its component's smallest id (singletons label
     themselves). ``pairs`` has columns (id_1, id_2).
@@ -214,12 +215,22 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     diameters in practice, so rounds stay single-digit; for adversarial
     graph shapes at extreme scale swap in the large-star/small-star
     alternating algorithm — the join shape is identical.
+
+    Cache hygiene: every intermediate cache is unpersisted before
+    return. When a checkpoint dir is set (``sc.setCheckpointDir``) the
+    result is a reliable checkpoint — lineage truncated every
+    ``checkpoint_every`` rounds and at the end, so adversarial diameters
+    don't grow an unbounded plan and no persisted RDDs are left behind.
+    Without a checkpoint dir the returned frame stays cached (the caller
+    may unpersist it after consuming).
     """
+    sc = nodes.sparkSession.sparkContext
+    reliable = sc.getCheckpointDir() is not None
     edges = pairs.select("id_1", "id_2").unionByName(
         pairs.select(F.col("id_2").alias("id_1"), F.col("id_1").alias("id_2"))
     ).cache()
     labels = nodes.select(F.col(id_col), F.col(id_col).alias("group_id")).cache()
-    for _ in range(max_iter):
+    for i in range(max_iter):
         nbr_min = (
             edges.join(labels.select(F.col(id_col).alias("id_2"), "group_id"), on="id_2")
             .groupBy(F.col("id_1").alias(id_col))
@@ -239,6 +250,19 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
         labels = new_labels
         if changed == 0:
             break
+        if reliable and (i + 1) % checkpoint_every == 0:
+            truncated = labels.checkpoint(eager=True)
+            labels.unpersist()
+            labels = truncated
+    if reliable:
+        # materialize the full result BEFORE dropping edges: the changed
+        # probe's limit(1) may have cached only some label partitions,
+        # and the rest recompute through the edge join
+        final = labels.checkpoint(eager=True)
+        labels.unpersist()
+        edges.unpersist()
+        return final
+    edges.unpersist()
     return labels
 
 

@@ -271,6 +271,57 @@ class TestKnn:
                 g = np.sort(got[got.query_id == qi].dist.values)
                 assert np.allclose(g, exp, atol=1e-6), (k, exact, qi)
 
+    def test_knn_join_null_candidate_coords_ignored(self, spark):
+        # dirty candidate tables (null / NaN / out-of-range coordinates)
+        # must neither crash the histogram nor surface as neighbors
+        cand = spark.createDataFrame(
+            [(i, 10.0 + i * 0.01, 20.0) for i in range(30)]
+            + [(100, None, 20.0), (101, float("nan"), 20.0),
+               (102, 95.0, 20.0), (103, 10.0, None)],
+            "cid long, lat double, lon double")
+        q = spark.createDataFrame([(1, 10.0, 20.0)],
+                                  "query_id long, q_lat double, q_lon double")
+        out = knn_join(q, cand, 3, c_id="cid").toPandas()
+        assert set(out.cid) == {0, 1, 2}
+        # k <= n validation counts only VALID candidates (30 here)
+        with pytest.raises(ValueError, match="exceeds candidate count 30"):
+            knn_join(q, cand, 31, c_id="cid")
+
+    def test_knn_join_precomputed_histogram(self, spark, places, places_pd):
+        # hist= skips the per-call candidate aggregation and returns the
+        # identical result
+        from geodistpy_spark.operators import candidate_histogram
+
+        hist = candidate_histogram(places)
+        assert hist[1] == len(places_pd)
+        queries = spark.createDataFrame([(1, 48.0, 2.0), (2, -30.0, 140.0)],
+                                        "query_id long, q_lat double, q_lon double")
+        a = knn_join(queries, places, 5, c_id="place_id").toPandas()
+        b = knn_join(queries, places, 5, c_id="place_id", hist=hist).toPandas()
+        key = ["query_id", "place_id"]
+        pd_a = a.sort_values(key).reset_index(drop=True)
+        pd_b = b.sort_values(key).reset_index(drop=True)
+        assert (pd_a[key].values == pd_b[key].values).all()
+        assert np.allclose(pd_a.dist.values, pd_b.dist.values)
+
+    def test_knn_join_polar_cover_capped_routes_phase3(self, spark):
+        # a pole-adjacent query whose cover would blow past
+        # max_cover_cells gets an EMPTY cover and must still come back
+        # exact via the phase-3 fallback
+        import pandas as pd
+        rng = np.random.default_rng(7)
+        n = 400
+        cand_lat = rng.uniform(82.0, 90.0, n)
+        cand_lon = rng.uniform(-180.0, 180.0, n)
+        cand = spark.createDataFrame(
+            pd.DataFrame({"cid": np.arange(n), "lat": cand_lat, "lon": cand_lon}))
+        q = spark.createDataFrame([(1, 89.9, 10.0)],
+                                  "query_id long, q_lat double, q_lon double")
+        got = knn_join(q, cand, 5, c_id="cid", max_cover_cells=4).toPandas()
+        d = K.geodesic_inverse(np.full(n, 89.9), np.full(n, 10.0),
+                               cand_lat, cand_lon)
+        assert np.allclose(np.sort(got.dist.values), np.sort(d)[:5], atol=1e-6)
+
     def test_knn_join_sparse_straggler_phase3(self, spark, places, places_pd):
         # a query in the middle of the Pacific with k larger than any
         # phase-1/2 disk plausibly holds -> must still return exact top-k
@@ -341,6 +392,31 @@ class TestAsofJoin:
             .toPandas().set_index("eid")
         assert out.loc[1, "state_asof"] == 42.0          # 100 s old: kept
         assert np.isnan(out.loc[2, "state_asof"])        # 5000 s old: nulled
+
+    def test_tolerance_subsecond_microseconds(self, spark):
+        # unix_timestamp truncates to seconds; the staleness cutoff must
+        # hold at microsecond precision (match pandas merge_asof exactly)
+        import pandas as pd
+
+        t0 = pd.Timestamp("2026-01-01 00:00:00")
+        lpd = pd.DataFrame({
+            "eid": [1, 2, 3],
+            "user_id": [7, 7, 7],
+            "ts": [t0 + pd.Timedelta(milliseconds=ms) for ms in (400, 900, 1600)],
+        })
+        rpd = pd.DataFrame({"user_id": [7], "ts": [t0], "state": [42.0]})
+        from geodistpy_spark.operators import asof_join
+
+        got = asof_join(spark.createDataFrame(lpd), spark.createDataFrame(rpd),
+                        on="user_id", tolerance_s=0.5) \
+            .toPandas().sort_values("eid").reset_index(drop=True)
+        exp = pd.merge_asof(lpd, rpd, on="ts", by="user_id",
+                            tolerance=pd.Timedelta(seconds=0.5)) \
+            .sort_values("eid").reset_index(drop=True)
+        # 400 ms old: kept; 900 ms and 1600 ms: nulled (both would be
+        # KEPT under whole-second truncation at tolerance 0.5/1.0)
+        assert np.allclose(got.state_asof.values, exp.state.values, equal_nan=True)
+        assert got.state_asof.iloc[0] == 42.0 and np.isnan(got.state_asof.iloc[1])
 
 
 class TestDimwiseHaversine:

@@ -180,6 +180,43 @@ class TestStreaming:
         assert len(closed_b) == 1
         assert closed_b.n_events.iloc[0] == 2
 
+    def test_sessionize_fn_late_event_keeps_anchor(self):
+        # cross-batch out-of-order event (late but above watermark) must
+        # not move the session-end anchor BACKWARD — the next gap check
+        # would otherwise split against a stale anchor
+        import pandas as pd
+        from geodistpy_spark.streaming.stateful import _sessionize_fn
+
+        class FakeState:
+            def __init__(self, value=None):
+                self._v = value
+                self.hasTimedOut = False
+                self.timeout = None
+            @property
+            def exists(self):
+                return self._v is not None
+            @property
+            def get(self):
+                return self._v
+            def update(self, v):
+                self._v = v
+            def remove(self):
+                self._v = None
+            def setTimeoutTimestamp(self, t):
+                self.timeout = t
+
+        fn = _sessionize_fn(gap_s=1800)
+        t = lambda s: pd.to_datetime(s, unit="s")
+        # batch 1: events at 1000 and 2000 -> state anchors last=2000
+        st = FakeState()
+        list(fn(("u",), iter([pd.DataFrame({"ts": [t(1000), t(2000)]})]), st))
+        assert st.get == (1000, 2000, 2)
+        # batch 2: LATE event at 1500 (before last) must extend, not
+        # regress; then 3500 is within gap of 2000 -> same session
+        closed = list(fn(("u",), iter([pd.DataFrame({"ts": [t(1500), t(3500)]})]), st))
+        assert closed == []
+        assert st.get == (1000, 3500, 4)
+
     def test_stream_dedup_exact_across_batches(self, spark, tmp_path):
         # identical content re-arriving in a later microbatch (within the
         # watermark) must be dropped by the native bounded-state dedup

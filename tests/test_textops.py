@@ -136,6 +136,31 @@ class TestDedup:
         assert comp[0] == comp[1] == comp[2] == 0
         assert comp[3] == 3
 
+    def test_connected_components_cache_hygiene(self, spark, tmp_path):
+        # with a checkpoint dir set, repeated dedup_near/components calls
+        # must not leak persisted RDDs (edges/labels caches unpersisted,
+        # result lineage truncated via reliable checkpoint)
+        from geodistpy_spark.textops import connected_components
+
+        jsc = spark.sparkContext._jsc.sc()
+        prev_dir = spark.sparkContext.getCheckpointDir()
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "ck"))
+        try:
+            before = jsc.getPersistentRDDs().size()
+            nodes = spark.createDataFrame(
+                [(i,) for i in range(38)], "doc_id long")
+            pairs = spark.createDataFrame(
+                [(i, i + 1) for i in range(0, 38, 2)], "id_1 long, id_2 long")
+            for _ in range(2):
+                out = connected_components(nodes, pairs).toPandas()
+                assert len(out) == 38
+                assert (out.group_id == out.doc_id - out.doc_id % 2).all()
+            after = jsc.getPersistentRDDs().size()
+            assert after <= before, (before, after)
+        finally:
+            if prev_dir:
+                spark.sparkContext.setCheckpointDir(prev_dir)
+
     def test_simhash_identical_for_exact_dups(self, planted):
         sh = simhash(planted).toPandas().set_index("doc_id").simhash
         assert sh[1] == sh[2]
