@@ -15,8 +15,15 @@ Portability rules that make the oracles EXACT (not just close):
   (bit-identical in both engines),
 - hash/text ops are md5/string built-ins (bit-identical).
 
-Iterative Vincenty/Karney paths are not SQL-expressible; those queries
-have no oracle entry (driver records rows-only checks).
+Iterative Vincenty/Karney paths are not SQL-expressible, so those
+queries are value-gated against fixtures/golden/*.parquet — mpmath
+40-digit exact-integral expected values (scripts/make_golden.py;
+truth solver tests/truth_geodesic.py). Both the Spark query and the
+DuckDB oracle read the SAME golden table; the Spark side returns
+within-tolerance booleans (plus reference values taken from the golden
+table so the columns hash-match), the oracle returns the same reference
+values with ok=TRUE. A kernel regression flips ok and fails the hash.
+Only ivf_topk stays rows-only (driver-side k-means seeding).
 """
 
 from __future__ import annotations
@@ -33,6 +40,13 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 FIXTURE_DOCS = os.path.join(_REPO, "fixtures", "documents_interleaved.parquet")
+FIXTURE_GOLDEN = os.path.join(_REPO, "fixtures", "golden")
+
+# gate bars for the golden-fixture value checks (fixtures/golden/META.json
+# records the observed kernel-vs-truth errors: >=2x margin under each bar)
+GOLDEN_DIST_TOL_M = 2.5e-4   # kernel distance vs mpmath truth
+GOLDEN_POS_TOL_M = 5e-3      # derived positions (midpoint/waypoints)
+GOLDEN_ROUNDTRIP_TOL_M = 1e-3  # inverse+bearing+direct composed
 
 # ---------------------------------------------------------------------------
 # shared derived-point formulas (pure integer math -> exact in both engines)
@@ -449,43 +463,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       5, exact=False, c_lat="lat", c_lon="lon", c_id="cand_id")
         return kj.select("query_id", "cand_id", _r0(F.col("dist")).alias("dist_m"))
 
-    # --- geo: iterative kernels (rows-only) ----------------------------
+    # --- geo: iterative kernels, value-gated against mpmath goldens ----
     def q_vincenty_pairs(spark, sf_dir):
         df = _pair_points(spark, sf_dir)
-        out = geodist(df, "lat1", "lon1", "lat2", "lon2")
-        return out.select("id", _r0(F.col("dist")).alias("vinc_m"))
+        g = spark.read.parquet(f"{FIXTURE_GOLDEN}/inverse.parquet") \
+            .select("id", "s_m")
+        out = geodist(df.join(g, on="id"), "lat1", "lon1", "lat2", "lon2")
+        return out.select(
+            "id", _r0(F.col("s_m")).alias("ref_m"),
+            (F.abs(F.col("dist") - F.col("s_m")) <= GOLDEN_DIST_TOL_M).alias("ok"))
 
     def q_bearing_vincenty(spark, sf_dir):
         df = _pair_points(spark, sf_dir)
-        out = op_bearing(df, "lat1", "lon1", "lat2", "lon2")
-        return out.select("id", F.round("bearing_deg", 6).alias("brg_deg"))
+        g = spark.read.parquet(f"{FIXTURE_GOLDEN}/inverse.parquet") \
+            .select("id", "azi1_deg", "azi_tol_deg")
+        out = op_bearing(df.join(g, on="id"), "lat1", "lon1", "lat2", "lon2")
+        diff = F.abs(F.pmod(F.col("bearing_deg") - F.col("azi1_deg") + 180.0,
+                            F.lit(360.0)) - 180.0)
+        return out.select(
+            "id", F.round("azi1_deg", 6).alias("ref_brg"),
+            (diff <= F.col("azi_tol_deg")).alias("ok"))
 
     def q_destination_roundtrip(spark, sf_dir):
-        df = _pair_points(spark, sf_dir).limit(300)
+        # truth is the INPUT (lat2, lon2): the exact direct problem shot
+        # along the exact inverse azimuth/distance lands on the target by
+        # definition, so inverse->bearing->direct must round-trip within
+        # the composed kernel tolerance (no golden table needed)
+        df = _pair_points(spark, sf_dir).filter(F.col("id") % 5 == 0)
         out = geodist(df, "lat1", "lon1", "lat2", "lon2", out="d_m")
         out = op_bearing(out, "lat1", "lon1", "lat2", "lon2")
         out = op_destination(out, "lat1", "lon1", "bearing_deg", "d_m")
         err = haversine_m("dest_lat", "dest_lon", "lat2", "lon2")
-        return out.select("id", F.round(err * 1000, 1).alias("err_mm"))
+        return out.select("id", (err <= GOLDEN_ROUNDTRIP_TOL_M).alias("ok"))
 
     def q_interpolate(spark, sf_dir):
-        df = _pair_points(spark, sf_dir).limit(200)
+        df = _pair_points(spark, sf_dir).filter(F.col("id") % 7 == 0)
         out = op_interpolate(df, "lat1", "lon1", "lat2", "lon2", n_points=3)
-        return out.select("id", "waypoint_idx",
-                          F.round("wp_lat", 6).alias("wp_lat"),
-                          F.round("wp_lon", 6).alias("wp_lon"))
+        g = spark.read.parquet(f"{FIXTURE_GOLDEN}/interp.parquet") \
+            .withColumnRenamed("wp_lat", "ref_lat_raw") \
+            .withColumnRenamed("wp_lon", "ref_lon_raw")
+        out = out.withColumn("waypoint_idx", F.col("waypoint_idx").cast("long")) \
+            .join(g, on=["id", "waypoint_idx"])
+        err = haversine_m("wp_lat", "wp_lon", "ref_lat_raw", "ref_lon_raw")
+        return out.select(
+            "id", "waypoint_idx",
+            F.round("ref_lat_raw", 6).alias("ref_lat"),
+            F.round("ref_lon_raw", 6).alias("ref_lon"),
+            (err <= GOLDEN_POS_TOL_M).alias("ok"))
 
     def q_midpoint(spark, sf_dir):
-        df = _pair_points(spark, sf_dir).limit(300)
+        df = _pair_points(spark, sf_dir).filter(F.col("id") % 5 == 0)
         out = op_midpoint(df, "lat1", "lon1", "lat2", "lon2")
-        return out.select("id", F.round("mid_lat", 6).alias("mid_lat"),
-                          F.round("mid_lon", 6).alias("mid_lon"))
+        g = spark.read.parquet(f"{FIXTURE_GOLDEN}/midpoint.parquet") \
+            .withColumnRenamed("mid_lat", "ref_lat_raw") \
+            .withColumnRenamed("mid_lon", "ref_lon_raw")
+        out = out.join(g, on="id")
+        err = haversine_m("mid_lat", "mid_lon", "ref_lat_raw", "ref_lon_raw")
+        return out.select(
+            "id", F.round("ref_lat_raw", 6).alias("ref_lat"),
+            F.round("ref_lon_raw", 6).alias("ref_lon"),
+            (err <= GOLDEN_POS_TOL_M).alias("ok"))
 
     def q_knn_exact(spark, sf_dir):
+        from pyspark.sql import Window
+
         kj = knn_join(_query_points(spark, sf_dir),
-                      _cand_points(spark, sf_dir).limit(500), 3,
-                      c_lat="lat", c_lon="lon", c_id="cand_id")
-        return kj.select("query_id", "cand_id", _r0(F.col("dist")).alias("dist_m"))
+                      _cand_points(spark, sf_dir).filter(F.col("cand_id") < 150),
+                      3, c_lat="lat", c_lon="lon", c_id="cand_id")
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("dist").asc(), F.col("cand_id").asc())
+        r = kj.withColumn("rank", F.row_number().over(w).cast("long"))
+        g = spark.read.parquet(f"{FIXTURE_GOLDEN}/knn.parquet") \
+            .withColumnRenamed("rank", "ref_rank")
+        out = r.join(g, on=["query_id", "cand_id"], how="left")
+        ok = F.coalesce(
+            (F.col("ref_rank") == F.col("rank"))
+            & (F.abs(F.col("dist") - F.col("s_m")) <= GOLDEN_DIST_TOL_M),
+            F.lit(False))
+        return out.select("query_id", "cand_id", "rank", ok.alias("ok"))
 
     def q_point_in_polygon(spark, sf_dir):
         from geodistpy_spark.sources.fixtures import ensure_default_fixtures
@@ -494,6 +549,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         polys = spark.read.parquet(paths["polygons"])
         pts = _cand_points(spark, sf_dir)
         hit = point_in_polygon_join(pts, polys, lat_col="lat", lon_col="lon")
+        return hit.select("cand_id", "poly_id")
+
+    def q_point_in_polygon_rel(spark, sf_dir):
+        # the relational (no-driver-collect) strategy must produce the
+        # broadcast path's exact result — same oracle SQL gates both
+        from geodistpy_spark.sources.fixtures import ensure_default_fixtures
+
+        paths = ensure_default_fixtures()
+        polys = spark.read.parquet(paths["polygons"])
+        pts = _cand_points(spark, sf_dir)
+        hit = point_in_polygon_join(pts, polys, lat_col="lat", lon_col="lon",
+                                    strategy="relational")
         return hit.select("cand_id", "poly_id")
 
     def q_zonal_stats(spark, sf_dir):
@@ -757,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "midpoint": q_midpoint,
         "knn_exact": q_knn_exact,
         "point_in_polygon": q_point_in_polygon,
+        "point_in_polygon_rel": q_point_in_polygon_rel,
         "zonal_stats": q_zonal_stats,
         "span_geo_extract": q_span_geo_extract,
         "span_fingerprint": q_span_fingerprint,
@@ -897,6 +965,42 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT query_id, cand_id, dm, row_number() OVER "
             "(PARTITION BY query_id ORDER BY dm, cand_id) AS rn FROM d) "
             "SELECT query_id, cand_id, round(dm, 0) AS dist_m FROM r WHERE rn <= 5"
+        ),
+        # --- iterative-kernel value gates: both sides read the SAME
+        # mpmath golden parquet (scripts/make_golden.py); the Spark query
+        # computes its kernel value and emits ok = within-tolerance, the
+        # oracle emits ok = TRUE — any kernel regression hash-mismatches.
+        # The customer join restricts the golden rows to the ids present
+        # at the current scale factor (goldens cover custkey 0..1499).
+        "vincenty_pairs": (
+            "SELECT g.id, round(g.s_m, 0) AS ref_m, TRUE AS ok "
+            f"FROM read_parquet('{FIXTURE_GOLDEN}/inverse.parquet') g "
+            "JOIN customer c ON c.c_custkey = g.id"
+        ),
+        "bearing_vincenty": (
+            "SELECT g.id, round(g.azi1_deg, 6) AS ref_brg, TRUE AS ok "
+            f"FROM read_parquet('{FIXTURE_GOLDEN}/inverse.parquet') g "
+            "JOIN customer c ON c.c_custkey = g.id"
+        ),
+        "destination_roundtrip": (
+            "SELECT c_custkey AS id, TRUE AS ok FROM customer "
+            "WHERE c_custkey % 5 = 0"
+        ),
+        "interpolate": (
+            "SELECT g.id, g.waypoint_idx, round(g.wp_lat, 6) AS ref_lat, "
+            "round(g.wp_lon, 6) AS ref_lon, TRUE AS ok "
+            f"FROM read_parquet('{FIXTURE_GOLDEN}/interp.parquet') g "
+            "JOIN customer c ON c.c_custkey = g.id"
+        ),
+        "midpoint": (
+            "SELECT g.id, round(g.mid_lat, 6) AS ref_lat, "
+            "round(g.mid_lon, 6) AS ref_lon, TRUE AS ok "
+            f"FROM read_parquet('{FIXTURE_GOLDEN}/midpoint.parquet') g "
+            "JOIN customer c ON c.c_custkey = g.id"
+        ),
+        "knn_exact": (
+            "SELECT query_id, cand_id, rank, TRUE AS ok "
+            f"FROM read_parquet('{FIXTURE_GOLDEN}/knn.parquet')"
         ),
         "span_geo_extract": (
             f"{span_cte} SELECT doc_id, span_idx, "
@@ -1042,6 +1146,10 @@ def oracle_sql() -> dict[str, str]:
             f"{_pip_hits_sql(_CAND_SQL, 'cand_id')} "
             "SELECT cand_id, poly_id FROM pip_hits"
         ),
+        "point_in_polygon_rel": (
+            f"{_pip_hits_sql(_CAND_SQL, 'cand_id')} "
+            "SELECT cand_id, poly_id FROM pip_hits"
+        ),
         "zonal_stats": (
             _pip_hits_sql(
                 f"SELECT tile_id, lat, lon, value FROM read_parquet('{FIXTURE_RASTER}')",
@@ -1101,10 +1209,11 @@ def oracle_sql() -> dict[str, str]:
             )
             + " FROM m) "
             "SELECT doc_id, span_idx, "
-            "CASE b0 % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'raw' END AS format, "
-            "CAST(CASE b0 % 3 WHEN 2 THEN (b0 + 256 * b1) % 1920 + 16 "
+            "CASE b0 % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' WHEN 2 THEN 'webp' "
+            "WHEN 3 THEN 'tiff' ELSE 'raw' END AS format, "
+            "CAST(CASE b0 % 5 WHEN 4 THEN (b0 + 256 * b1) % 1920 + 16 "
             "ELSE 16 + (b1 + 256 * b2) % 2033 END AS BIGINT) AS width, "
-            "CAST(CASE b0 % 3 WHEN 2 THEN (b2 + 256 * b3) % 1080 + 16 "
+            "CAST(CASE b0 % 5 WHEN 4 THEN (b2 + 256 * b3) % 1080 + 16 "
             "ELSE 16 + (b3 + 256 * b4) % 1525 END AS BIGINT) AS height, "
             "CAST(128 AS BIGINT) AS n_bytes FROM b"
         ),

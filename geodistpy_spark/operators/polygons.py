@@ -146,6 +146,138 @@ def _pip_refine_udf(prepped: dict):
     return _refine
 
 
+def _poly_res(span_deg: float) -> int:
+    """Per-polygon cover resolution: cells a bit smaller than the ring's
+    bbox span (covers stay tens of cells)."""
+    return min(max(int(math.floor(math.log2(360.0 / max(span_deg, 1e-3)))) + 3, 0),
+               grid.MAX_RES)
+
+
+_PREP_SCHEMA = T.StructType([
+    T.StructField("poly_id", T.LongType()),
+    T.StructField("__res", T.IntegerType()),
+    T.StructField("vlat", T.ArrayType(T.DoubleType())),
+    T.StructField("vlon_u", T.ArrayType(T.DoubleType())),
+    T.StructField("ref", T.DoubleType()),
+    T.StructField("cover", T.ArrayType(T.LongType())),
+])
+
+
+def _prep_polygons_rel(polygons: DataFrame) -> DataFrame:
+    """Distributed polygon prep: unwrap/close each ring, pick a per-ring
+    cover resolution, and emit the conservative cell cover — one row per
+    polygon, NO driver collect (the relational analog of
+    :func:`polygon_cover_pairs`, same bbox + one-cell-pad construction).
+    """
+    def _prep(pdfs):
+        for pdf in pdfs:
+            out = {k.name: [] for k in _PREP_SCHEMA.fields}
+            for pid, ring in zip(pdf["poly_id"], pdf["ring"]):
+                vlat = np.asarray([v["lat"] for v in ring], float)
+                vlon = np.asarray([v["lon"] for v in ring], float)
+                vlat, u, ref = _prep_polygon(vlat, vlon)
+                la0, la1, lo0, lo1 = _ring_bbox(vlat, u)
+                res = _poly_res(max(la1 - la0, lo1 - lo0))
+                n = 1 << res
+                pad_lat = 180.0 / n
+                y0 = max(int((la0 - pad_lat + 90.0) / 180.0 * n), 0)
+                y1 = min(int((la1 + pad_lat + 90.0) / 180.0 * n), n - 1)
+                x0f = lo0 - 360.0 / n
+                x1f = lo1 + 360.0 / n
+                span_cells = min(int(math.ceil((x1f - x0f) / (360.0 / n))) + 1, n)
+                x_start = int(math.floor((((x0f + ref) + 180.0) % 360.0) / 360.0 * n))
+                cover = [
+                    y * n + (x_start + i) % n
+                    for y in range(y0, y1 + 1)
+                    for i in range(span_cells)
+                ]
+                out["poly_id"].append(pid)
+                out["__res"].append(res)
+                out["vlat"].append(vlat.tolist())
+                out["vlon_u"].append(u.tolist())
+                out["ref"].append(ref)
+                out["cover"].append(cover)
+            yield pd.DataFrame(out)
+
+    return polygons.select("poly_id", "ring").mapInPandas(_prep, _PREP_SCHEMA)
+
+
+@F.pandas_udf(T.BooleanType())
+def _pip_refine_rel_udf(lat: pd.Series, lon: pd.Series, poly_id: pd.Series,
+                        vlat: pd.Series, vlon_u: pd.Series,
+                        ref: pd.Series) -> pd.Series:
+    """Row-carried-ring variant of the even-odd ray-cast: the polygon
+    arrays arrive as columns (from the prepped join), grouped by poly_id
+    inside the batch so the edge loop vectorizes over that polygon's
+    points exactly like the broadcast path."""
+    la = lat.to_numpy()
+    lo = lon.to_numpy()
+    pid = poly_id.to_numpy()
+    inside = np.zeros(len(la), dtype=bool)
+    for p in pd.unique(pid):
+        sel = pid == p
+        first = int(np.flatnonzero(sel)[0])
+        vla = np.asarray(vlat.iloc[first], dtype=float)
+        vlo = np.asarray(vlon_u.iloc[first], dtype=float)
+        rf = float(ref.iloc[first])
+        plat = la[sel]
+        plon = _map_lon_into_ring(_unwrap(lo[sel], rf), vlo.min())
+        acc = np.zeros(len(plat), dtype=bool)
+        x2 = np.roll(vlo, -1)
+        y2 = np.roll(vla, -1)
+        for e in range(len(vla)):
+            xi, yi, xj, yj = vlo[e], vla[e], x2[e], y2[e]
+            if yi == yj:
+                continue
+            cond = (yi > plat) != (yj > plat)
+            xint = (xj - xi) * (plat - yi) / (yj - yi) + xi
+            acc ^= cond & (plon < xint)
+        inside[sel] = acc
+    return pd.Series(inside)
+
+
+def _pip_join_relational(pts: DataFrame, polygons: DataFrame,
+                         lat_col: str, lon_col: str) -> DataFrame:
+    """(point rows x containing poly_id) with NO driver-side polygon
+    state: prep + cover are computed distributedly, candidates come from
+    a (res, cell) equi-join, refine reads the ring arrays off the joined
+    row. Scales to arbitrarily many polygons (the broadcast path walls at
+    the driver with ~10^5 rings).
+
+    Plan: one polygon scan (prep -> cover explode), one point scan
+    (ancestor cell per ACTIVE res — the distinct-res list is the only
+    driver action, bounded by grid.MAX_RES values), one shuffle equi-join
+    on (res, cell), one poly_id join to re-attach ring arrays, Arrow
+    ray-cast refine.
+    """
+    prepped = _prep_polygons_rel(polygons)
+    pairs = prepped.select(
+        "poly_id", "__res", F.explode("cover").alias("__cell"))
+    # the only driver round-trip: WHICH resolutions are active (<= 26
+    # ints, metadata not data)
+    res_list = sorted(
+        r["__res"] for r in prepped.select("__res").distinct().collect())
+    cells = F.array(*[
+        F.struct(F.lit(r).cast("int").alias("r"),
+                 cell_id_col(lat_col, lon_col, r).alias("c"))
+        for r in res_list
+    ])
+    ptsx = (
+        pts.withColumn("__rc", F.explode(cells))
+        .withColumn("__res", F.col("__rc.r"))
+        .withColumn("__cell", F.col("__rc.c"))
+        .drop("__rc")
+    )
+    cand = ptsx.join(pairs, on=["__res", "__cell"], how="inner") \
+        .drop("__res", "__cell")
+    rings = prepped.select("poly_id", "vlat", "vlon_u", "ref")
+    withring = cand.join(rings, on="poly_id", how="inner")
+    hit = withring.filter(_pip_refine_rel_udf(
+        F.col(lat_col), F.col(lon_col), F.col("poly_id"),
+        F.col("vlat"), F.col("vlon_u"), F.col("ref")))
+    return hit.drop("vlat", "vlon_u", "ref")
+
+
 def _load_polygons(polygons: DataFrame) -> list[dict]:
     rows = polygons.select("poly_id", "ring").collect()
     return [
@@ -160,18 +292,35 @@ def _load_polygons(polygons: DataFrame) -> list[dict]:
 
 def point_in_polygon_join(points: DataFrame, polygons: DataFrame,
                           lat_col: str = "lat", lon_col: str = "lon",
-                          how: str = "inner") -> DataFrame:
+                          how: str = "inner",
+                          strategy: str = "auto",
+                          broadcast_max_polys: int = 512) -> DataFrame:
     """Join each point to the polygon(s) containing it.
 
-    ``polygons``: (poly_id, name?, ring: array<struct<lat,lon>>) — small,
-    collected driver-side and broadcast both as cover pairs and in the
-    refine UDF closure. ``how='left'`` keeps non-matching points with
-    null poly_id (used by zonal stats to count unassigned tiles).
+    ``polygons``: (poly_id, name?, ring: array<struct<lat,lon>>).
+    ``how='left'`` keeps non-matching points with null poly_id (used by
+    zonal stats to count unassigned tiles).
+
+    Two physical strategies, identical results:
+
+    - ``broadcast`` — rings collected driver-side, cover pairs + refine
+      closure broadcast. Fastest for small polygon sets (the north
+      rule's case) but walls at the driver around ~10^5 rings (the
+      reference punts here entirely, docs/spatial-queries.md:286-289).
+    - ``relational`` — polygon prep, cover and refine all stay
+      distributed (no driver polygon state); per-polygon adaptive cover
+      resolution, one shuffle equi-join on (res, cell). Use for large
+      polygon sets (census tracts & co).
+    - ``auto`` (default) — probes ``limit(broadcast_max_polys + 1)`` and
+      picks.
     """
-    spark = points.sparkSession
-    polys = _load_polygons(polygons)
-    res, pairs, prepped = polygon_cover_pairs(polys)
-    pairs_df = spark.createDataFrame(pairs, schema="__cell long, poly_id long")
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how={how!r}")
+    if strategy not in ("auto", "broadcast", "relational"):
+        raise ValueError(f"unknown strategy={strategy!r}")
+    if strategy == "auto":
+        n_polys = polygons.limit(broadcast_max_polys + 1).count()
+        strategy = "broadcast" if n_polys <= broadcast_max_polys else "relational"
 
     # surrogate row id: the left join below must be per-ROW (duplicate
     # coordinates would multiply and null-valued columns never equal
@@ -185,16 +334,22 @@ def point_in_polygon_join(points: DataFrame, polygons: DataFrame,
         # localCheckpoint pins one materialized assignment for both
         # subtrees (eager: runs a job here, acceptable on the left path).
         pts = pts.withColumn("__pt", F.monotonically_increasing_id()).localCheckpoint()
-    pts = pts.withColumn("__cell", cell_id_col(lat_col, lon_col, res))
-    cand = pts.join(F.broadcast(pairs_df), on="__cell", how="inner")
-    refine = _pip_refine_udf(prepped)
-    hit = cand.filter(refine(F.col(lat_col), F.col(lon_col), F.col("poly_id"))).drop("__cell")
+
+    if strategy == "relational":
+        hit = _pip_join_relational(pts, polygons, lat_col, lon_col)
+    else:
+        spark = points.sparkSession
+        polys = _load_polygons(polygons)
+        res, pairs, prepped = polygon_cover_pairs(polys)
+        pairs_df = spark.createDataFrame(pairs, schema="__cell long, poly_id long")
+        cells = pts.withColumn("__cell", cell_id_col(lat_col, lon_col, res))
+        cand = cells.join(F.broadcast(pairs_df), on="__cell", how="inner")
+        refine = _pip_refine_udf(prepped)
+        hit = cand.filter(
+            refine(F.col(lat_col), F.col(lon_col), F.col("poly_id"))).drop("__cell")
     if how == "inner":
         return hit
-    if left:
-        base = pts.drop("__cell")
-        return base.join(hit.select("__pt", "poly_id"), on="__pt", how="left").drop("__pt")
-    raise ValueError(f"unsupported how={how!r}")
+    return pts.join(hit.select("__pt", "poly_id"), on="__pt", how="left").drop("__pt")
 
 
 def zonal_stats(raster: DataFrame, polygons: DataFrame,

@@ -15,6 +15,8 @@ candidate problem into an equi-join on band keys.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -368,7 +370,9 @@ def embedding_near_pairs(emb: DataFrame, id_col: str = "vec_id",
                          vec_col: str = "embedding",
                          threshold: float = 0.95,
                          n_bands: int = 4, band_bits: int = 4,
-                         seed: int = 42) -> DataFrame:
+                         seed: int = 42,
+                         target_recall: float | None = None,
+                         max_bands: int = 64) -> DataFrame:
     """Embedding cosine near-dup pairs, banded-LSH-bucketed for scale.
 
     Random-hyperplane signature of ``n_bands * band_bits`` sign bits
@@ -378,6 +382,12 @@ def embedding_near_pairs(emb: DataFrame, id_col: str = "vec_id",
     p = 1 - acos(0.95)/pi ~ 0.899, so candidate recall with the default
     4 x 4 is 1 - (1 - p^4)^4 ~ 0.985 — tunable via n_bands/band_bits.
 
+    ``target_recall`` auto-tunes instead: keeps ``band_bits`` (the
+    precision/bucket-size knob) and derives the smallest ``n_bands``
+    with expected recall >= target at ``threshold``, i.e.
+    b = ceil(log(1 - target) / log(1 - p^r)), capped at ``max_bands``
+    (shuffle volume grows linearly with b).
+
     (Round-1 joined on the FULL signature: one band of n_planes bits —
     recall ~0.65 at 8 planes and, worse, only 2^n_planes buckets total,
     which goes quadratic inside buckets at billions of rows. Banding
@@ -385,6 +395,17 @@ def embedding_near_pairs(emb: DataFrame, id_col: str = "vec_id",
     :func:`lsh_candidate_pairs`.)
     """
     import numpy as np
+
+    if target_recall is not None:
+        if not 0.0 < target_recall < 1.0:
+            raise ValueError(f"target_recall must be in (0, 1), got {target_recall}")
+        p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+        pr = p ** band_bits
+        if pr >= 1.0:
+            n_bands = 1
+        else:
+            n_bands = min(max_bands, max(1, math.ceil(
+                math.log(1.0 - target_recall) / math.log(1.0 - pr))))
 
     n_planes = n_bands * band_bits
     rng = np.random.default_rng(seed)

@@ -5,8 +5,9 @@ Spark-side plumbing (schemas, partitioning, Arrow batch shapes,
 ``mapInPandas`` signatures) is real and tested.
 
 The decode is REAL at the container-header level: PNG / BMP / GIF /
-JPEG-SOF dimensions are parsed from the payload bytes (pure byte math,
-no codec libraries needed — :func:`parse_image_header`). PIXEL-level
+JPEG-SOF / WEBP (VP8, VP8L, VP8X) / TIFF-IFD dimensions are parsed from
+the payload bytes (pure byte math, no codec libraries needed —
+:func:`parse_image_header`). PIXEL-level
 decoding (and hence real feature extraction) would need codec libraries
 absent from this environment, so features are a deterministic function
 of the payload bytes, and unknown container formats either raise
@@ -39,7 +40,9 @@ def parse_image_header(p: bytes):
     """(format, width, height) from container header bytes, or None.
 
     Pure-Python header parsing (public container specs): PNG IHDR,
-    BMP BITMAPINFOHEADER, GIF logical screen descriptor, JPEG SOF scan.
+    BMP BITMAPINFOHEADER, GIF logical screen descriptor, JPEG SOF scan,
+    WEBP RIFF (VP8 lossy frame tag / VP8L bitstream / VP8X canvas),
+    TIFF IFD (both byte orders, ImageWidth/ImageLength tags 256/257).
     """
     if len(p) >= 24 and p[:8] == _PNG_MAGIC and p[12:16] == b"IHDR":
         w, h = struct.unpack(">II", p[16:24])
@@ -52,6 +55,45 @@ def parse_image_header(p: bytes):
     if len(p) >= 10 and p[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack("<HH", p[6:10])
         return "gif", w, h
+    if len(p) >= 16 and p[:4] == b"RIFF" and p[8:12] == b"WEBP":
+        chunk = p[12:16]
+        if chunk == b"VP8X" and len(p) >= 30:
+            w = 1 + int.from_bytes(p[24:27], "little")
+            h = 1 + int.from_bytes(p[27:30], "little")
+            return "webp", w, h
+        if chunk == b"VP8 " and len(p) >= 30 and p[23:26] == b"\x9d\x01\x2a":
+            w = int.from_bytes(p[26:28], "little") & 0x3FFF
+            h = int.from_bytes(p[28:30], "little") & 0x3FFF
+            return "webp", w, h
+        if chunk == b"VP8L" and len(p) >= 25 and p[20] == 0x2F:
+            bits = int.from_bytes(p[21:25], "little")
+            return "webp", (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+        return None
+    if len(p) >= 8 and p[:4] in (b"II*\x00", b"MM\x00*"):
+        bo = "little" if p[:2] == b"II" else "big"
+        off = int.from_bytes(p[4:8], bo)
+        if off + 2 <= len(p):
+            n = int.from_bytes(p[off:off + 2], bo)
+            w = h = None
+            for k in range(n):
+                e = off + 2 + 12 * k
+                if e + 12 > len(p):
+                    break
+                tag = int.from_bytes(p[e:e + 2], bo)
+                typ = int.from_bytes(p[e + 2:e + 4], bo)
+                # value is left-justified in the 4-byte field: SHORT (3)
+                # reads 2 bytes, LONG (4) reads 4, in either byte order
+                if typ == 3:
+                    val = int.from_bytes(p[e + 8:e + 10], bo)
+                else:
+                    val = int.from_bytes(p[e + 8:e + 12], bo)
+                if tag == 256:
+                    w = val
+                elif tag == 257:
+                    h = val
+            if w and h:
+                return "tiff", w, h
+        return None
     if len(p) >= 4 and p[:2] == b"\xff\xd8":
         i = 2
         while i + 9 < len(p):
@@ -68,13 +110,13 @@ def parse_image_header(p: bytes):
 
 
 def _synth_payload(ref: str) -> bytes:
-    """Deterministic media payload for the fetch STUB: a third each of
-    real PNG / real BMP headers (dimensions derived from sha256(ref), so
-    a SQL oracle can mirror them) and raw unheadered streams. Always
-    exactly PAYLOAD_BYTES bytes.
+    """Deterministic media payload for the fetch STUB: a fifth each of
+    real PNG / BMP / WEBP-VP8X / TIFF headers (dimensions derived from
+    sha256(ref), so a SQL oracle can mirror them) and raw unheadered
+    streams. Always exactly PAYLOAD_BYTES bytes.
     """
     h = hashlib.sha256(ref.encode()).digest()
-    kind = h[0] % 3
+    kind = h[0] % 5
     w = 16 + (h[1] | (h[2] << 8)) % 2033
     ht = 16 + (h[3] | (h[4] << 8)) % 1525
     if kind == 0:
@@ -84,6 +126,16 @@ def _synth_payload(ref: str) -> bytes:
         head = (b"BM" + struct.pack("<I", PAYLOAD_BYTES) + b"\x00\x00\x00\x00"
                 + struct.pack("<I", 54) + struct.pack("<I", 40)
                 + struct.pack("<ii", w, ht))
+    elif kind == 2:
+        head = (b"RIFF" + struct.pack("<I", PAYLOAD_BYTES - 8) + b"WEBP"
+                + b"VP8X" + struct.pack("<I", 10) + b"\x00\x00\x00\x00"
+                + (w - 1).to_bytes(3, "little") + (ht - 1).to_bytes(3, "little"))
+    elif kind == 3:
+        head = (b"II*\x00" + struct.pack("<I", 8)
+                + struct.pack("<H", 2)
+                + struct.pack("<HHI", 256, 4, 1) + struct.pack("<I", w)
+                + struct.pack("<HHI", 257, 4, 1) + struct.pack("<I", ht)
+                + struct.pack("<I", 0))
     else:
         head = b""
     return (head + h * 4)[:PAYLOAD_BYTES]
@@ -94,8 +146,8 @@ def fetch_media_bytes(media_spans: DataFrame) -> DataFrame:
 
     STUB: a real deployment resolves ``media://`` refs against an object
     store. Here the payload is a deterministic function of the ref (see
-    :func:`_synth_payload`) including REAL PNG/BMP container headers, so
-    the downstream header decode is exercised on genuine byte layouts.
+    :func:`_synth_payload`) including REAL PNG/BMP/WEBP/TIFF container
+    headers, so the downstream header decode runs on genuine byte layouts.
     Column types and batch flow match the real path exactly.
     """
 

@@ -511,3 +511,49 @@ class TestPolygons:
         zs = zonal_stats(raster, polygons).toPandas()
         assert (zs.n_tiles > 0).all()
         assert np.allclose(zs.sum_value.values / zs.n_tiles.values, zs.avg_value.values)
+
+    def test_relational_strategy_matches_broadcast(self, places, polygons, monkeypatch):
+        # the no-driver-collect path must reproduce the broadcast path
+        # exactly across the fixture's ordinary/antimeridian/polar rings —
+        # with the driver-side loader poisoned to PROVE nothing collects
+        from geodistpy_spark.operators import polygons as P
+
+        exp = point_in_polygon_join(places, polygons, strategy="broadcast") \
+            .select("place_id", "poly_id").toPandas()
+
+        def _boom(df):
+            raise AssertionError("relational path collected polygons driver-side")
+
+        monkeypatch.setattr(P, "_load_polygons", _boom)
+        got = P.point_in_polygon_join(places, polygons, strategy="relational") \
+            .select("place_id", "poly_id").toPandas()
+        assert set(zip(got.place_id, got.poly_id)) \
+            == set(zip(exp.place_id, exp.poly_id))
+
+    def test_relational_many_polygons_auto_dispatch(self, spark):
+        # 10,000 polygons: auto dispatch must take the relational path
+        # (the broadcast path's driver collect is the wall this removes);
+        # 'left' keeps outside points with null poly_id
+        import pandas as pd
+        side = 100
+        polys = []
+        for i in range(side):
+            for j in range(side):
+                la, lo = i * 0.1, j * 0.1
+                polys.append((i * side + j, [
+                    {"lat": la, "lon": lo}, {"lat": la, "lon": lo + 0.08},
+                    {"lat": la + 0.08, "lon": lo + 0.08}, {"lat": la + 0.08, "lon": lo},
+                ]))
+        pdf = spark.createDataFrame(
+            polys, schema="poly_id long, ring array<struct<lat:double,lon:double>>")
+        rng = np.random.default_rng(5)
+        picks = rng.choice(side * side, 50, replace=False)
+        pts = [(int(p), (p // side) * 0.1 + 0.04, (p % side) * 0.1 + 0.04)
+               for p in picks] + [(-1, 50.0, 50.0)]  # outside every square
+        pts_df = spark.createDataFrame(
+            pd.DataFrame(pts, columns=["pid", "lat", "lon"]))
+        got = point_in_polygon_join(pts_df, pdf, how="left").toPandas() \
+            .set_index("pid").poly_id
+        for p in picks:
+            assert got[int(p)] == p
+        assert np.isnan(got[-1])

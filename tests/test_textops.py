@@ -218,6 +218,45 @@ class TestDedup:
         assert recall >= 0.95, (recall, exp - got_pairs)
         assert got_pairs <= exp        # refine step guarantees precision 1.0
 
+    def test_embedding_near_pairs_target_recall(self, spark):
+        # target_recall derives n_bands from the threshold's per-plane
+        # collision probability; achieved recall must meet the target at
+        # two different thresholds (and more bands than the 4x4 default
+        # must be used for the harder, lower threshold)
+        import math
+
+        rng = np.random.default_rng(9)
+        base = rng.normal(0, 1, (40, 16))
+        rows = []
+        vid = 0
+        for i in range(40):
+            rows.append((vid, base[i].tolist())); vid += 1
+            noise = 0.02 if i % 2 == 0 else 0.25  # near + medium planted pairs
+            pert = base[i] + rng.normal(0, noise, 16)
+            rows.append((vid, pert.tolist())); vid += 1
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        V = np.array([r[1] for r in rows])
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        cos = Vn @ Vn.T
+        from geodistpy_spark.textops import embedding_near_pairs
+
+        for thr in (0.95, 0.8):
+            got = embedding_near_pairs(emb, threshold=thr,
+                                       target_recall=0.98).toPandas()
+            got_pairs = set(zip(got.id_1, got.id_2))
+            exp = {(a, b) for a in range(len(rows)) for b in range(a + 1, len(rows))
+                   if cos[a, b] >= thr}
+            assert len(exp) >= 20
+            recall = len(got_pairs & exp) / len(exp)
+            assert recall >= 0.98, (thr, recall)
+            assert got_pairs <= exp
+        # the derived band count grows as the threshold drops
+        p95 = 1 - math.acos(0.95) / math.pi
+        p80 = 1 - math.acos(0.8) / math.pi
+        b95 = math.ceil(math.log(0.02) / math.log(1 - p95 ** 4))
+        b80 = math.ceil(math.log(0.02) / math.log(1 - p80 ** 4))
+        assert b80 > b95 >= 4
+
 
 class TestAnn:
     def test_cosine_topk_matches_numpy(self, spark, fixture_paths):
@@ -314,7 +353,7 @@ class TestMultimodal:
                                        "width", "height", "n_bytes", "features"}
             assert (mf.n_bytes == 128).all()
             assert all(len(f) == 8 for f in mf.features)
-            assert set(mf.format) <= {"png", "bmp", "raw"}
+            assert set(mf.format) <= {"png", "bmp", "webp", "tiff", "raw"}
 
     def test_header_parse_real_formats(self):
         import struct
@@ -331,6 +370,34 @@ class TestMultimodal:
                + b"\xff\xc0\x00\x11\x08" + struct.pack(">HH", 480, 640) + b"\x00" * 10)
         assert parse_image_header(jpg) == ("jpeg", 640, 480)
         assert parse_image_header(b"\x00" * 64) is None
+        # WEBP: extended (VP8X 24-bit canvas), lossy (VP8 frame tag +
+        # sync code), lossless (VP8L bitstream 14-bit fields)
+        vp8x = (b"RIFF" + struct.pack("<I", 30) + b"WEBPVP8X"
+                + struct.pack("<I", 10) + b"\x00\x00\x00\x00"
+                + (799).to_bytes(3, "little") + (599).to_bytes(3, "little"))
+        assert parse_image_header(vp8x) == ("webp", 800, 600)
+        vp8 = (b"RIFF" + struct.pack("<I", 30) + b"WEBPVP8 "
+               + struct.pack("<I", 12) + b"\x00\x00\x00" + b"\x9d\x01\x2a"
+               + struct.pack("<HH", 320, 240))
+        assert parse_image_header(vp8) == ("webp", 320, 240)
+        bits = (99) | (49 << 14)  # width-1=99, height-1=49
+        vp8l = (b"RIFF" + struct.pack("<I", 20) + b"WEBPVP8L"
+                + struct.pack("<I", 5) + b"\x2f" + struct.pack("<I", bits))
+        assert parse_image_header(vp8l) == ("webp", 100, 50)
+        # TIFF: little-endian LONG values and big-endian SHORT values
+        tif_le = (b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", 2)
+                  + struct.pack("<HHI", 256, 4, 1) + struct.pack("<I", 1024)
+                  + struct.pack("<HHI", 257, 4, 1) + struct.pack("<I", 768)
+                  + struct.pack("<I", 0))
+        assert parse_image_header(tif_le) == ("tiff", 1024, 768)
+        tif_be = (b"MM\x00*" + struct.pack(">I", 8) + struct.pack(">H", 2)
+                  + struct.pack(">HHI", 256, 3, 1) + struct.pack(">H", 640) + b"\x00\x00"
+                  + struct.pack(">HHI", 257, 3, 1) + struct.pack(">H", 480) + b"\x00\x00"
+                  + struct.pack(">I", 0))
+        assert parse_image_header(tif_be) == ("tiff", 640, 480)
+        # truncated/garbage RIFF and TIFF stay None, not crashes
+        assert parse_image_header(b"RIFF\x00\x00\x00\x00WEBP") is None
+        assert parse_image_header(b"II*\x00\xff\xff\xff\xff") is None
 
     def test_decoded_dims_match_synthesized_headers(self, spark, docs):
         from geodistpy_spark.textops import media_feature_pipeline
