@@ -21,8 +21,13 @@ a FIXED 3-phase plan built lazily as one DAG:
      single candidate scan.
   1. per-query search radius from LOCAL density (expanding block sums on
      the integral image, vectorized in one pandas UDF) -> variable-radius
-     cover join -> window top-k; a query closes when it has k in-disk
-     neighbors (ring closure).
+     TIERED cover join -> window top-k; a query closes when it has k
+     in-disk neighbors (ring closure). Tiers: each query covers at the
+     finest of {res, res-2, res-4} whose cover fits max_cover_cells
+     (tier encoded into the join key, cell*32+tier), so sparse/oceanic
+     queries search 16x-larger disks with coarse cells instead of
+     falling through to the crossJoin; candidates emit one ancestor key
+     per tier.
   2. unclosed queries retry at ``growth`` x radius (same candidate-side
      exchange: Spark reuses the shuffle).
   3. stragglers (typically none) fall back to an exact broadcast
@@ -145,17 +150,32 @@ def _radius_estimator_udf(counts: np.ndarray, k: int, r_cap_m: float):
     return _r_est
 
 
-def _cover_cells_var_udf(res: int, max_cells: int, margin: float = 1.002):
-    """Pandas UDF: (lat, lon, radius_m) -> array<long> cover cells at
-    ``res`` — per-row radius variant of radius._cover_cells_udf, same
-    conservative spherical-cap bounding-box construction.
+def _tiers(res: int) -> list[int]:
+    """Cover resolution tiers, fine -> coarse: dense-region queries cover
+    at ``res`` (the density-derived join resolution); sparse/oceanic
+    queries whose disks would blow the cell budget there fall back to
+    4x / 16x coarser cells instead of falling through to the exact
+    crossJoin. Tier + cell share ONE join key: ``cell * 32 + tier_res``."""
+    return sorted({res, max(res - 2, 0), max(res - 4, 0)}, reverse=True)
 
-    Rows whose cover would exceed ``max_cells`` (pole-containing caps at
-    fine res can emit tens of thousands of cells) get an EMPTY cover —
+
+def _tier_key(lat_col: str, lon_col: str, t: int):
+    return cell_id_col(lat_col, lon_col, t) * 32 + t
+
+
+def _cover_cells_var_udf(res: int, max_cells: int, margin: float = 1.002):
+    """Pandas UDF: (lat, lon, radius_m) -> array<long> of TIER-ENCODED
+    cover cells (``cell * 32 + tier_res``) — per-row radius variant of
+    radius._cover_cells_udf, same conservative spherical-cap bounding-box
+    construction, per-row tier selection.
+
+    Each row tries the tiers fine -> coarse and emits the first cover
+    that fits ``max_cells`` (pole-containing caps at fine res can emit
+    tens of thousands of cells; a 16x-coarser tier holds a 16x-larger
+    disk in the same budget). Rows that fit NO tier get an EMPTY cover —
     the query then finds no in-disk candidates, stays open, and phase 3
     answers it exactly; cost stays bounded, correctness unconditional."""
-    n = grid.nx(res)
-    cell_w = 360.0 / n
+    tiers = _tiers(res)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _cover(lat: pd.Series, lon: pd.Series, radius_m: pd.Series) -> pd.Series:
@@ -164,34 +184,44 @@ def _cover_cells_var_udf(res: int, max_cells: int, margin: float = 1.002):
         sigma = np.minimum(radius_m.to_numpy(dtype=np.float64) * margin
                            / grid.MIN_CURVATURE_RADIUS_M, np.pi)
         sigma_deg = np.degrees(sigma)
-        lat_lo = np.maximum(la - sigma_deg, -90.0)
-        lat_hi = np.minimum(la + sigma_deg, 90.0)
-        y_lo = np.clip(np.floor((lat_lo + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
-        y_hi = np.clip(np.floor((lat_hi + 90.0 - 1e-12) / 180.0 * n), 0, n - 1).astype(np.int64)
         pole = (np.abs(la) + sigma_deg) >= 90.0
-        with np.errstate(invalid="ignore"):
-            ratio = np.sin(sigma) / np.maximum(np.cos(np.radians(la)), 1e-15)
-        dlam = np.degrees(np.arcsin(np.minimum(ratio, 1.0)))
-        span = np.minimum(np.ceil(2.0 * dlam / cell_w).astype(np.int64) + 2, n)
-        span = np.where(pole | (sigma >= np.pi * 0.999), n, span)
-        lo_x = np.floor(np.mod(lo - dlam + 180.0, 360.0) / 360.0 * n).astype(np.int64)
-        lo_x = np.where(pole, 0, lo_x)
+        geom = {}
+        for t in tiers:
+            n = grid.nx(t)
+            cell_w = 360.0 / n
+            lat_lo = np.maximum(la - sigma_deg, -90.0)
+            lat_hi = np.minimum(la + sigma_deg, 90.0)
+            y_lo = np.clip(np.floor((lat_lo + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
+            y_hi = np.clip(np.floor((lat_hi + 90.0 - 1e-12) / 180.0 * n), 0, n - 1).astype(np.int64)
+            with np.errstate(invalid="ignore"):
+                ratio = np.sin(sigma) / np.maximum(np.cos(np.radians(la)), 1e-15)
+            dlam = np.degrees(np.arcsin(np.minimum(ratio, 1.0)))
+            span = np.minimum(np.ceil(2.0 * dlam / cell_w).astype(np.int64) + 2, n)
+            span = np.where(pole | (sigma >= np.pi * 0.999), n, span)
+            lo_x = np.floor(np.mod(lo - dlam + 180.0, 360.0) / 360.0 * n).astype(np.int64)
+            lo_x = np.where(pole, 0, lo_x)
+            geom[t] = (n, y_lo, y_hi, span, lo_x)
         empty = np.empty(0, dtype=np.int64)
         out = []
         for i in range(len(la)):
-            if pole[i]:
-                # per-row spans near the pole (grid.polar_cap_cells)
-                cells = np.asarray(grid.polar_cap_cells(
-                    float(la[i]), float(lo[i]), float(sigma[i]), res,
-                    int(y_lo[i]), int(y_hi[i])), dtype=np.int64)
-                out.append(cells if len(cells) <= max_cells else empty)
-                continue
-            if (y_hi[i] - y_lo[i] + 1) * span[i] > max_cells:
-                out.append(empty)  # over budget -> phase 3 answers it
-                continue
-            ys = np.arange(y_lo[i], y_hi[i] + 1, dtype=np.int64)
-            xs = (lo_x[i] + np.arange(span[i], dtype=np.int64)) % n
-            out.append((ys[:, None] * n + xs[None, :]).ravel())
+            cells = empty
+            for t in tiers:
+                n, y_lo, y_hi, span, lo_x = geom[t]
+                if pole[i]:
+                    pc = np.asarray(grid.polar_cap_cells(
+                        float(la[i]), float(lo[i]), float(sigma[i]), t,
+                        int(y_lo[i]), int(y_hi[i])), dtype=np.int64)
+                    if len(pc) <= max_cells:
+                        cells = pc * 32 + t
+                        break
+                    continue
+                if (y_hi[i] - y_lo[i] + 1) * span[i] > max_cells:
+                    continue
+                ys = np.arange(y_lo[i], y_hi[i] + 1, dtype=np.int64)
+                xs = (lo_x[i] + np.arange(span[i], dtype=np.int64)) % n
+                cells = (ys[:, None] * n + xs[None, :]).ravel() * 32 + t
+                break
+            out.append(cells)
         return pd.Series(out)
 
     return _cover
@@ -221,6 +251,13 @@ def _topk_in_radius(qr: DataFrame, cand: DataFrame, k: int, res: int,
 
     joined = q.join(c, on=join_keys, how="inner")
     if exact:
+        # conservative codegen prefilter (see radius._gc_margin_m):
+        # Andoyer-Lambert is within O(f^2 s) of the exact geodesic, so
+        # gc > __r * 1.001 + 5 km is provably outside the disk — those
+        # rows (the cover box's corners) never reach the Arrow kernel
+        joined = joined.filter(
+            great_circle_m("__qlat", "__qlon", c_lat, c_lon)
+            <= F.col("__r") * 1.001 + 5_000.0)
         d = vincenty_udf(ellipsoid, once=True)(F.col("__qlat"), F.col("__qlon"),
                                                F.col(c_lat), F.col(c_lon))
     else:
@@ -243,7 +280,8 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
              r0_m: float | None = None, growth: float = 6.0,
              max_cover_cells: int = 4096,
              salt: int | None = None, out: str = "dist",
-             hist: tuple[np.ndarray, int] | None = None) -> DataFrame:
+             hist: tuple[np.ndarray, int] | None = None,
+             stats: dict | None = None) -> DataFrame:
     """Many-to-many kNN join: for every query row, its k nearest
     candidates by exact geodesic distance (``exact=False``: great-circle).
 
@@ -257,6 +295,11 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
     Candidate rows with null/NaN/out-of-range coordinates are ignored
     (they can never be a nearest neighbor; unfiltered they would rank by
     null distances in the phase-3 fallback and crash the histogram).
+
+    ``stats``: pass a dict to receive the per-phase closed-result
+    DataFrames (keys phase1/phase2) for population introspection — after
+    the main action they count from cache, so phase populations cost one
+    cheap job each (phase3 = total - phase1 - phase2).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -285,9 +328,12 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
         r_typ = r0_m if r0_m is not None else 100_000.0
     r_typ = min(max(r_typ, 1_000.0), GLOBE_M)
     res = grid.pick_resolution(r_typ)
-    # radius above which a cover at ``res`` would exceed max_cover_cells
+    # radius cap: the COARSEST tier bounds how large a disk still fits in
+    # max_cover_cells — sparse/oceanic queries get a 16x-larger search
+    # radius than the fine tier alone would allow before phase 3
+    tiers = _tiers(res)
     span_cap = max(int(math.sqrt(max_cover_cells)), 3)
-    r_cap = min(span_cap / 2.0 * (2.0e7 / grid.nx(res)), GLOBE_M)
+    r_cap = min(span_cap / 2.0 * (2.0e7 / grid.nx(min(tiers))), GLOBE_M)
 
     # invalid/null query coordinates yield NO rows for that query (the
     # SQL-consistent analog of the reference's coordinate validation —
@@ -311,7 +357,11 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
     # to keep each phase single-execution
     qr = qr.cache()
 
-    cand = candidates.withColumn("__cell", cell_id_col(c_lat, c_lon, res))
+    # candidate rows carry ONE tier-encoded ancestor key per tier (the
+    # join stays a single-key equi-join; coarse-tier probes only match
+    # for the sparse queries that chose that tier)
+    cand = candidates.withColumn(
+        "__cell", F.explode(F.array(*[_tier_key(c_lat, c_lon, t) for t in tiers])))
     drop_cols = ["__rn", "__cnt", "__r", "__qlat", "__qlon"]
 
     # phase 1: density-seeded radius
@@ -356,6 +406,9 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
         .drop("__rn", "__qlat", "__qlon")
     )
 
+    if stats is not None:
+        stats["phase1"] = closed1
+        stats["phase2"] = closed2
     result = closed1.unionByName(closed2).unionByName(p3)
     return result.withColumn(out, F.col(out) * unit_factor(metric))
 

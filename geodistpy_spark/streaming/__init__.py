@@ -3,7 +3,8 @@ from .ingest import (
     stream_extract_geo,
     stream_windowed_event_counts,
 )
-from .stateful import stream_sessionize
+from .stateful import stream_sessionize, stream_sessionize_tws
 
 __all__ = ["stream_dedup_exact", "stream_extract_geo",
-           "stream_windowed_event_counts", "stream_sessionize"]
+           "stream_windowed_event_counts", "stream_sessionize",
+           "stream_sessionize_tws"]

@@ -48,7 +48,12 @@ class TestCellPartitionedLayout:
         hits = point_in_radius(back, (48.85, 2.35), 100_000.0,
                                cell_col="cell_r12", res=12)
         plan = hits._jdf.queryExecution().executedPlan().toString()
-        assert "PushedFilters: [In(cell_r12" in plan, plan
+        # the IN must appear in the scan's PushedFilters (the gc
+        # prefilter also pushes IsNotNull(lat/lon) ahead of it, which is
+        # fine — position in the list is not the contract)
+        assert "PushedFilters: [" in plan, plan
+        pushed = plan.split("PushedFilters: [", 1)[1]
+        assert "In(cell_r12" in pushed, plan[:2000]
 
     def test_fine_cell_matches_expression(self, spark, places, tmp_path):
         path = str(tmp_path / "pts2")

@@ -304,6 +304,27 @@ class TestKnn:
         assert (pd_a[key].values == pd_b[key].values).all()
         assert np.allclose(pd_a.dist.values, pd_b.dist.values)
 
+    def test_knn_join_hist_skips_candidate_scan(self, spark, places, monkeypatch):
+        # with hist= the join must not re-aggregate the candidate table
+        # (poisoned to prove it) and stats= exposes phase populations
+        from geodistpy_spark.operators import candidate_histogram
+        from geodistpy_spark.operators import knn as KN
+
+        hist = candidate_histogram(places)
+
+        def _boom(*a, **k):
+            raise AssertionError("candidate histogram recomputed despite hist=")
+
+        monkeypatch.setattr(KN, "candidate_histogram", _boom)
+        q = spark.createDataFrame([(1, 48.0, 2.0)],
+                                  "query_id long, q_lat double, q_lon double")
+        stats = {}
+        out = KN.knn_join(q, places, 3, c_id="place_id", hist=hist, stats=stats)
+        total = out.count()
+        assert total == 3
+        p1, p2 = stats["phase1"].count(), stats["phase2"].count()
+        assert p1 + p2 <= total
+
     def test_knn_join_polar_cover_capped_routes_phase3(self, spark):
         # a pole-adjacent query whose cover would blow past
         # max_cover_cells gets an EMPTY cover and must still come back
