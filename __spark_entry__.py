@@ -275,6 +275,56 @@ def _pip_hits_sql(points_sql: str, pid: str) -> str:
     )
 
 
+_SPHERE_R2_HALF = repr(6_371_009.0 ** 2 / 2.0)
+
+
+def _poly_area_sql() -> str:
+    """Exact SQL mirror of operators.polygons.polygon_area: same window
+    unwrap + polar-cap closure as the ray-cast oracle, then the
+    trapezoidal sin(lat)-lon shoelace with per-edge integer-m² rounding
+    (order-independent sum -> bit-identical across engines)."""
+    fxp = f"read_parquet('{FIXTURE_POLYGONS}')"
+    rel = _posmod("v.vlon - rf.ref + 1.8e2")
+    return (
+        f"WITH v0 AS (SELECT poly_id, CAST(generate_subscripts(ring, 1) AS BIGINT) - 1 AS idx, "
+        f"unnest(ring).lat AS vlat, unnest(ring).lon AS vlon FROM {fxp}), "
+        "refs AS (SELECT poly_id, vlon AS ref FROM v0 WHERE idx = 0), "
+        f"vrel AS (SELECT v.poly_id, v.idx, v.vlat, {rel} - 1.8e2 AS rlon "
+        "FROM v0 v JOIN refs rf ON rf.poly_id = v.poly_id), "
+        "vd AS (SELECT *, rlon - coalesce(lag(rlon) OVER "
+        "(PARTITION BY poly_id ORDER BY idx), rlon) AS dd FROM vrel), "
+        "u AS (SELECT poly_id, idx, vlat, rlon - 3.6e2 * "
+        "sum(CASE WHEN dd > 1.8e2 THEN 1 WHEN dd < -1.8e2 THEN -1 ELSE 0 END) "
+        "OVER (PARTITION BY poly_id ORDER BY idx) AS ulon FROM vd), "
+        "agg AS (SELECT poly_id, max(idx) AS n, avg(vlat) AS mlat, "
+        "arg_max(ulon, idx) AS ulast, arg_min(ulon, idx) AS u0, "
+        "arg_min(vlat, idx) AS flat FROM u GROUP BY poly_id), "
+        f"agg2 AS (SELECT *, {_posmod('u0 - ulast + 1.8e2')} - 1.8e2 AS closing, "
+        "CASE WHEN mlat > 0e0 THEN 9e1 ELSE -9e1 END AS pole FROM agg), "
+        # pole-encircling rings: wrapped first vertex (ring finishes its
+        # winding at its own latitude), then the two pole vertices; the
+        # cyclic edge back to vertex 0 is the meridional descent
+        "verts AS (SELECT poly_id, idx, vlat, ulon FROM u "
+        "UNION ALL SELECT poly_id, n + 1, flat, ulast + closing FROM agg2 "
+        "WHERE abs(ulast - u0 + closing) > 1.8e2 "
+        "UNION ALL SELECT poly_id, n + 2, pole, ulast + closing FROM agg2 "
+        "WHERE abs(ulast - u0 + closing) > 1.8e2 "
+        "UNION ALL SELECT poly_id, n + 3, pole, u0 FROM agg2 "
+        "WHERE abs(ulast - u0 + closing) > 1.8e2), "
+        "vc AS (SELECT poly_id, count(*) AS nn FROM verts GROUP BY poly_id), "
+        "rn AS (SELECT poly_id, vlat, ulon, row_number() OVER "
+        "(PARTITION BY poly_id ORDER BY idx) AS r FROM verts), "
+        "edges AS (SELECT a.poly_id, a.vlat, a.ulon, b.vlat AS nlat, b.ulon AS nulon "
+        "FROM rn a JOIN vc ON vc.poly_id = a.poly_id "
+        "JOIN rn b ON b.poly_id = a.poly_id AND b.r = (a.r % vc.nn) + 1), "
+        "terms AS (SELECT poly_id, CAST(round("
+        f"radians(nulon - ulon) * (sin(radians(vlat)) + sin(radians(nlat))) "
+        f"* {_SPHERE_R2_HALF}, 0) AS BIGINT) AS t FROM edges) "
+        "SELECT poly_id, round(abs(sum(t)) / 1e6, 3) AS area_km2 "
+        "FROM terms GROUP BY poly_id"
+    )
+
+
 def _emb_planes():
     """The deterministic hyperplanes shared by embedding_near_pairs and
     its oracle (same seed/order as textops.dedup.embedding_near_pairs)."""
@@ -563,6 +613,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                     strategy="relational")
         return hit.select("cand_id", "poly_id")
 
+    def q_polygon_area(spark, sf_dir):
+        from geodistpy_spark.operators import polygon_area
+        from geodistpy_spark.sources.fixtures import ensure_default_fixtures
+
+        paths = ensure_default_fixtures()
+        polys = spark.read.parquet(paths["polygons"])
+        return polygon_area(polys)
+
     def q_zonal_stats(spark, sf_dir):
         from geodistpy_spark.sources.fixtures import ensure_default_fixtures
 
@@ -603,6 +661,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _fixture_docs(spark)
         geo = extract_geo_spans(docs, res=6)
         return geo.groupBy(F.col("cell_r6").alias("cell")).agg(F.count("*").alias("n"))
+
+    def q_span_path(spark, sf_dir):
+        # per-document trajectory over ordered geo spans (integer-mm leg
+        # sum -> order-independent, hence SQL-exact)
+        from geodistpy_spark.sources.documents import span_path_stats
+
+        out = span_path_stats(_fixture_docs(spark))
+        return out.select("doc_id",
+                          F.col("n_points").cast("long").alias("n_points"),
+                          F.col("path_mm").cast("long").alias("path_mm"),
+                          "net_m")
 
     # --- training-data ops over driver documents (oracle-checked) ------
     def q_dedup_exact(spark, sf_dir):
@@ -825,11 +894,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_exact": q_knn_exact,
         "point_in_polygon": q_point_in_polygon,
         "point_in_polygon_rel": q_point_in_polygon_rel,
+        "polygon_area": q_polygon_area,
         "zonal_stats": q_zonal_stats,
         "span_geo_extract": q_span_geo_extract,
         "span_fingerprint": q_span_fingerprint,
         "media_span_meta": q_media_span_meta,
         "doc_cell_histogram": q_doc_cell_histogram,
+        "span_path": q_span_path,
         "geotag_spans": q_geotag_spans,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
@@ -1045,6 +1116,30 @@ def oracle_sql() -> dict[str, str]:
             "TRY_CAST(split_part(span.text, ',', 2) AS DOUBLE) AS lon "
             "FROM s WHERE span.kind = 'geo') GROUP BY 1"
         ),
+        # per-document trajectory: lag window over span order, legs
+        # rounded to integer millimeters BEFORE summation (addition-
+        # order-independent -> bit-identical across engines)
+        "span_path": (
+            f"{span_cte}, g AS (SELECT doc_id, span_idx, "
+            "TRY_CAST(split_part(span.text, ',', 1) AS DOUBLE) AS lat, "
+            "TRY_CAST(split_part(span.text, ',', 2) AS DOUBLE) AS lon "
+            "FROM s WHERE span.kind = 'geo' "
+            "AND TRY_CAST(split_part(span.text, ',', 1) AS DOUBLE) IS NOT NULL "
+            "AND TRY_CAST(split_part(span.text, ',', 2) AS DOUBLE) IS NOT NULL "
+            "AND TRY_CAST(split_part(span.text, ',', 1) AS DOUBLE) BETWEEN -9e1 AND 9e1 "
+            "AND TRY_CAST(split_part(span.text, ',', 2) AS DOUBLE) BETWEEN -1.8e2 AND 1.8e2), "
+            "l AS (SELECT doc_id, span_idx, lat, lon, "
+            "lag(lat) OVER w AS plat, lag(lon) OVER w AS plon FROM g "
+            "WINDOW w AS (PARTITION BY doc_id ORDER BY span_idx)), "
+            "p AS (SELECT doc_id, count(*) AS n_points, "
+            "sum(CASE WHEN plat IS NULL THEN 0 ELSE "
+            f"CAST(round(({_gc_sql('plat', 'plon', 'lat', 'lon')}) * 1e3, 0) AS BIGINT) END) AS path_mm, "
+            "arg_min(lat, span_idx) AS flat, arg_min(lon, span_idx) AS flon, "
+            "arg_max(lat, span_idx) AS llat, arg_max(lon, span_idx) AS llon "
+            "FROM l GROUP BY doc_id) "
+            "SELECT doc_id, n_points, path_mm, "
+            f"round({_gc_sql('flat', 'flon', 'llat', 'llon')}, 0) AS net_m FROM p"
+        ),
         "dedup_exact": (
             "SELECT doc_id, md5(text) AS text_hash, "
             "(row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1) AS keep "
@@ -1150,6 +1245,7 @@ def oracle_sql() -> dict[str, str]:
             f"{_pip_hits_sql(_CAND_SQL, 'cand_id')} "
             "SELECT cand_id, poly_id FROM pip_hits"
         ),
+        "polygon_area": _poly_area_sql(),
         "zonal_stats": (
             _pip_hits_sql(
                 f"SELECT tile_id, lat, lon, value FROM read_parquet('{FIXTURE_RASTER}')",

@@ -24,7 +24,7 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -350,6 +350,97 @@ def point_in_polygon_join(points: DataFrame, polygons: DataFrame,
     if how == "inner":
         return hit
     return pts.join(hit.select("__pt", "poly_id"), on="__pt", how="left").drop("__pt")
+
+
+SPHERE_R_M = 6_371_009.0
+
+
+def polygon_area(polygons: DataFrame, out: str = "area_km2") -> DataFrame:
+    """Spherical shoelace area per polygon: (poly_id, ``out``) in km².
+
+    Fully relational — posexplode + window-based cumulative longitude
+    unwrap (the same antimeridian/polar-cap handling as the ray-cast
+    join: rings whose unwrapped winding exceeds 180° are closed through
+    the nearer pole) + the trapezoidal sin(lat)–lon edge model
+    A = R²/2 · |Σ Δλ (sin φ₁ + sin φ₂)| on the R=6371009 sphere. Exact
+    for graticule-aligned edges (rectangles, polar caps); O(|edge|²)
+    edge-model approximation for oblique edges. Per-edge terms round to
+    integer m² BEFORE the sum, so the aggregate is addition-order-
+    independent (bit-reproducible; mirrored 1:1 by the SQL oracle).
+    No UDFs, no driver collection: one window chain + one groupBy.
+    """
+    w = Window.partitionBy("poly_id").orderBy("idx")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # full-frame ordered window: deterministic "first vertex" lookups
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+
+    v0 = polygons.select(
+        "poly_id", F.posexplode("ring").alias("idx", "v")
+    ).select("poly_id", "idx",
+             F.col("v.lat").alias("vlat"), F.col("v.lon").alias("vlon"))
+    ref = v0.withColumn("ref", F.first("vlon").over(w))
+    rel = ref.withColumn(
+        "rlon", F.pmod(F.col("vlon") - F.col("ref") + 180.0, F.lit(360.0)) - 180.0)
+    dd = rel.withColumn(
+        "dd", F.col("rlon") - F.coalesce(F.lag("rlon").over(w), F.col("rlon")))
+    u = dd.withColumn(
+        "ulon",
+        F.col("rlon") - 360.0 * F.sum(
+            F.when(F.col("dd") > 180.0, 1)
+            .when(F.col("dd") < -180.0, -1).otherwise(0)).over(wcum))
+
+    agg = u.groupBy("poly_id").agg(
+        F.max("idx").alias("n"),
+        F.avg("vlat").alias("mlat"),
+        F.max_by("ulon", "idx").alias("ulast"),
+        F.min_by("ulon", "idx").alias("u0"),
+        F.min_by("vlat", "idx").alias("flat"),
+    ).withColumn(
+        "closing",
+        F.pmod(F.col("u0") - F.col("ulast") + 180.0, F.lit(360.0)) - 180.0,
+    ).withColumn(
+        "pole", F.when(F.col("mlat") > 0.0, 90.0).otherwise(-90.0)
+    ).withColumn(
+        "is_cap", F.abs(F.col("ulast") - F.col("u0") + F.col("closing")) > 180.0)
+
+    # pole-encircling rings close through the pole with THREE extra
+    # vertices: the wrapped first vertex (finishing the ring's full
+    # winding at its own latitude), then up to the pole, across, and the
+    # final meridional descent comes from the cyclic edge back to vertex
+    # 0 (Δλ = 0). A diagonal ring-end -> pole closure would undercount
+    # the cap (wrong sin-lat weight on the missing ring segment).
+    caps = agg.filter("is_cap")
+    extra = caps.select(
+        "poly_id", (F.col("n") + 1).alias("idx"),
+        F.col("flat").alias("vlat"), (F.col("ulast") + F.col("closing")).alias("ulon"),
+    ).unionByName(caps.select(
+        "poly_id", (F.col("n") + 2).alias("idx"),
+        F.col("pole").alias("vlat"), (F.col("ulast") + F.col("closing")).alias("ulon"),
+    )).unionByName(caps.select(
+        "poly_id", (F.col("n") + 3).alias("idx"),
+        F.col("pole").alias("vlat"), F.col("u0").alias("ulon")))
+    verts = u.select("poly_id", "idx", "vlat", "ulon").unionByName(extra)
+
+    # cyclic edge pairing: lead within the ring, last edge wraps to the
+    # first vertex
+    paired = (
+        verts.withColumn("nlat", F.coalesce(F.lead("vlat").over(w),
+                                            F.first("vlat").over(wfull)))
+        .withColumn("nlon", F.coalesce(F.lead("ulon").over(w),
+                                       F.first("ulon").over(wfull)))
+    )
+    term = (
+        F.radians(F.col("nlon") - F.col("ulon"))
+        * (F.sin(F.radians("vlat")) + F.sin(F.radians("nlat")))
+        * F.lit(SPHERE_R_M * SPHERE_R_M / 2.0)
+    )
+    return (
+        paired.withColumn("__t", F.round(term, 0).cast("long"))
+        .groupBy("poly_id")
+        .agg(F.sum("__t").alias("__s"))
+        .select("poly_id",
+                F.round(F.abs(F.col("__s")) / 1e6, 3).alias(out))
+    )
 
 
 def zonal_stats(raster: DataFrame, polygons: DataFrame,

@@ -19,10 +19,10 @@ parsing is ``split`` + ``cast`` (no UDFs); reassembly is
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.expressions import cell_id_col
+from ..functions.expressions import cell_id_col, great_circle_m
 
 SPANS_SCHEMA_DDL = (
     "doc_id string, "
@@ -76,6 +76,54 @@ def extract_geo_spans(docs: DataFrame, res: int | None = None) -> DataFrame:
     if res is not None:
         pts = pts.withColumn(f"cell_r{res}", cell_id_col("lat", "lon", res))
     return pts
+
+
+def span_path_stats(docs: DataFrame, exact: bool = False,
+                    ellipsoid="WGS-84") -> DataFrame:
+    """Per-document trajectory stats over the ORDERED geo spans — a
+    geotagged interleaved document is a path, and this is its primitive:
+    (doc_id, n_points, path_mm, net_m) where path_mm is the total length
+    of consecutive legs in span order (integer millimeters: each leg
+    rounds to mm BEFORE the sum, so the aggregate is order-independent
+    and bit-reproducible across engines) and net_m the first->last
+    displacement.
+
+    Plan: one window (lag over span_idx within doc_id) + codegen
+    great-circle legs + one groupBy(doc_id) with min_by/max_by endpoints
+    — a single hash exchange on doc_id, no Python unless ``exact=True``
+    (Vincenty legs via the Arrow kernel).
+    """
+    from ..functions.udfs import vincenty_udf
+
+    pts = extract_geo_spans(docs)
+    w = Window.partitionBy("doc_id").orderBy("span_idx")
+    legs = (
+        pts.withColumn("__plat", F.lag("lat").over(w))
+        .withColumn("__plon", F.lag("lon").over(w))
+    )
+    if exact:
+        leg = vincenty_udf(ellipsoid, once=True)(
+            F.col("__plat"), F.col("__plon"), F.col("lat"), F.col("lon"))
+    else:
+        leg = great_circle_m("__plat", "__plon", "lat", "lon")
+    leg_mm = F.when(F.col("__plat").isNotNull(),
+                    F.round(leg * 1000.0, 0).cast("long")).otherwise(F.lit(0))
+    stats = (
+        legs.withColumn("__leg_mm", leg_mm)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("__leg_mm").alias("path_mm"),
+            F.min_by(F.struct("lat", "lon"), "span_idx").alias("__first"),
+            F.max_by(F.struct("lat", "lon"), "span_idx").alias("__last"),
+        )
+    )
+    net = great_circle_m(F.col("__first.lat"), F.col("__first.lon"),
+                         F.col("__last.lat"), F.col("__last.lon"))
+    return stats.select(
+        "doc_id", "n_points", "path_mm",
+        F.round(net, 0).cast("double").alias("net_m"),
+    )
 
 
 def extract_media_spans(docs: DataFrame) -> DataFrame:

@@ -117,3 +117,55 @@ class TestSpanInvariant:
         hit_docs = docs.join(hits.select("doc_id").distinct(), on="doc_id", how="inner")
         rt = reassemble_spans(explode_spans(hit_docs))
         assert verify_span_sequence(hit_docs, rt) == 0
+
+
+class TestSpanPath:
+    def test_path_stats_hand_computed(self, spark):
+        from geodistpy_spark import kernels as K
+        from geodistpy_spark.sources.documents import span_path_stats
+
+        def geo(off, lat, lon):
+            return {"kind": "geo", "text": f"{lat},{lon}",
+                    "media_ref": None, "offset": off}
+
+        rows = [
+            # 3-leg path Paris -> Berlin -> Munich -> Paris (span order,
+            # interleaved with text spans that must be ignored)
+            ("d1", [geo(0, 48.8566, 2.3522),
+                    {"kind": "text", "text": "x", "media_ref": None, "offset": 5},
+                    geo(10, 52.52, 13.405), geo(20, 48.1351, 11.582),
+                    geo(30, 48.8566, 2.3522)]),
+            # single geo span: path 0, net 0
+            ("d2", [geo(0, 10.0, 20.0)]),
+            # no geo spans: absent from the output
+            ("d3", [{"kind": "text", "text": "t", "media_ref": None, "offset": 0}]),
+        ]
+        docs = spark.createDataFrame(
+            rows, schema="doc_id string, spans array<struct<"
+            "kind:string,text:string,media_ref:string,offset:int>>")
+        out = span_path_stats(docs).toPandas().set_index("doc_id")
+        assert set(out.index) == {"d1", "d2"}
+        pts = [(48.8566, 2.3522), (52.52, 13.405), (48.1351, 11.582),
+               (48.8566, 2.3522)]
+        exp_mm = sum(
+            int(round(float(K.great_circle([a[0]], [a[1]], [b[0]], [b[1]])[0]) * 1000))
+            for a, b in zip(pts, pts[1:]))
+        assert out.loc["d1", "n_points"] == 4
+        assert abs(int(out.loc["d1", "path_mm"]) - exp_mm) <= 3  # per-leg mm rounding
+        assert out.loc["d1", "net_m"] == 0.0  # closed loop: first == last
+        assert out.loc["d2", "n_points"] == 1
+        assert out.loc["d2", "path_mm"] == 0 and out.loc["d2", "net_m"] == 0.0
+
+    def test_exact_variant_close_to_gc(self, spark):
+        from geodistpy_spark.sources.documents import span_path_stats
+
+        docs = spark.createDataFrame(
+            [("d", [{"kind": "geo", "text": "0.0,0.0", "media_ref": None, "offset": 0},
+                    {"kind": "geo", "text": "0.0,1.0", "media_ref": None, "offset": 1}])],
+            schema="doc_id string, spans array<struct<"
+            "kind:string,text:string,media_ref:string,offset:int>>")
+        gc = span_path_stats(docs).toPandas().path_mm.iloc[0]
+        ex = span_path_stats(docs, exact=True).toPandas().path_mm.iloc[0]
+        # equatorial degree: ~111.32 km; Vincenty vs Lambert within meters
+        assert abs(ex - 111_319_491) < 2_000  # mm
+        assert abs(gc - ex) < 20_000

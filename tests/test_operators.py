@@ -533,6 +533,34 @@ class TestPolygons:
         assert (zs.n_tiles > 0).all()
         assert np.allclose(zs.sum_value.values / zs.n_tiles.values, zs.avg_value.values)
 
+    def test_polygon_area_closed_forms(self, spark):
+        # the trapezoidal sin(lat)-lon shoelace is EXACT for graticule-
+        # aligned rings: validate against the spherical closed forms
+        import math
+        from geodistpy_spark.operators import polygon_area
+
+        R = 6_371_009.0
+
+        def ring(coords):
+            return [{"lat": la, "lon": lo} for la, lo in coords]
+
+        polys = spark.createDataFrame([
+            # graticule rectangle 10-20N, 30-50E
+            (1, ring([(10.0, 30.0), (10.0, 50.0), (20.0, 50.0), (20.0, 30.0)])),
+            # north polar cap bounded at 80N (ring wound through all lons)
+            (2, ring([(80.0, 0.0), (80.0, 90.0), (80.0, 180.0), (80.0, -90.0)])),
+            # antimeridian-crossing rectangle 0-5N, 170E..170W
+            (3, ring([(0.0, 170.0), (0.0, -170.0), (5.0, -170.0), (5.0, 170.0)])),
+        ], schema="poly_id long, ring array<struct<lat:double,lon:double>>")
+        got = polygon_area(polys).toPandas().set_index("poly_id").area_km2
+        rect = R * R * math.radians(20.0) * (math.sin(math.radians(20.0))
+                                             - math.sin(math.radians(10.0))) / 1e6
+        cap = 2.0 * math.pi * R * R * (1.0 - math.sin(math.radians(80.0))) / 1e6
+        am = R * R * math.radians(20.0) * (math.sin(math.radians(5.0)) - 0.0) / 1e6
+        assert abs(got[1] - rect) / rect < 1e-9
+        assert abs(got[2] - cap) / cap < 1e-9
+        assert abs(got[3] - am) / am < 1e-9
+
     def test_relational_strategy_matches_broadcast(self, places, polygons, monkeypatch):
         # the no-driver-collect path must reproduce the broadcast path
         # exactly across the fixture's ordinary/antimeridian/polar rings —
