@@ -730,6 +730,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = doc_fingerprint(_flat_docs(spark, sf_dir))
         return out.select("doc_id", "fingerprint")
 
+    def q_contamination(spark, sf_dir):
+        # benchmark decontamination: docs sharing a word 5-gram with the
+        # probe subset (every 50th doc stands in for an eval benchmark)
+        from geodistpy_spark.textops import ngram_contamination
+
+        docs = _flat_docs(spark, sf_dir)
+        probes = docs.filter(F.col("doc_id") % 50 == 0).select(
+            F.col("doc_id").alias("probe_id"), "text")
+        out = ngram_contamination(docs, probes, n=5)
+        return out.select("doc_id", "probe_id",
+                          F.col("n_shared").cast("long").alias("n_shared"))
+
+    def q_hash_split(spark, sf_dir):
+        from geodistpy_spark.textops import hash_split
+
+        out = hash_split(_flat_docs(spark, sf_dir), val_frac=0.1)
+        return out.select("doc_id", "split")
+
     def q_embedding_topk(spark, sf_dir):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         q = emb.filter(F.col("vec_id") < 5).select(
@@ -913,6 +931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "doc_fingerprint": q_doc_fingerprint,
         "embedding_topk": q_embedding_topk,
+        "contamination": q_contamination,
+        "hash_split": q_hash_split,
         "sessionize": q_sessionize,
         "media_features": q_media_features,
         "ivf_topk": q_ivf_topk,
@@ -1203,6 +1223,26 @@ def oracle_sql() -> dict[str, str]:
             f"WITH toks AS (SELECT doc_id, {_WORDS} AS words FROM documents) "
             "SELECT doc_id, md5(array_to_string(list_sort(list_distinct(words)), ' ')) "
             "AS fingerprint FROM toks"
+        ),
+        # exact word-5-gram contamination join: distinct shingles per
+        # doc on both sides, so count(*) == distinct shared n-grams
+        "contamination": (
+            f"WITH toks AS (SELECT doc_id, {_WORDS} AS words FROM documents), "
+            "sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
+            "generate_series(1, greatest(len(words) - 4, 0)), "
+            "i -> array_to_string(words[i:i+4], ' ')))) AS shingle FROM toks) "
+            "SELECT d.doc_id, p.doc_id AS probe_id, count(*) AS n_shared "
+            "FROM sh d JOIN sh p ON d.shingle = p.shingle "
+            "WHERE p.doc_id % 50 = 0 GROUP BY 1, 2"
+        ),
+        "hash_split": (
+            "SELECT doc_id, CASE WHEN ("
+            + " + ".join(
+                f"(instr('0123456789abcdef', substr(md5(concat('v1', ':', "
+                f"CAST(doc_id AS VARCHAR))), {j + 1}, 1)) - 1) * {16 ** (3 - j)}"
+                for j in range(4)
+            )
+            + ") < 6554 THEN 'val' ELSE 'train' END AS split FROM documents"
         ),
         "embedding_topk": (
             "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "

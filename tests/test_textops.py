@@ -428,3 +428,44 @@ class TestMultimodal:
         wb = fetch_media_bytes(spans)
         with pytest.raises(Exception, match="NotImplementedError|codec"):
             decode_media(wb, fake=False).count()
+
+
+class TestSamplingOps:
+    def test_contamination_planted_and_decontaminate(self, spark):
+        from geodistpy_spark.textops import decontaminate, ngram_contamination
+
+        probe_text = "the quick brown fox jumps over the lazy dog tonight"
+        docs = spark.createDataFrame([
+            (1, "prefix words then the quick brown fox jumps over nothing"),
+            (2, "completely unrelated content with no overlap at all here"),
+            (3, probe_text),  # exact duplicate of the benchmark row
+        ], "doc_id long, text string")
+        probes = spark.createDataFrame([(100, probe_text)],
+                                       "probe_id long, text string")
+        hits = ngram_contamination(docs, probes, n=5).toPandas()
+        # doc 1 shares exactly one 5-gram window ("the quick brown fox
+        # jumps" and "quick brown fox jumps over" -> two), doc 3 all six
+        by_doc = hits.set_index("doc_id").n_shared
+        assert 2 not in by_doc.index
+        assert by_doc[1] == 2
+        assert by_doc[3] == 6
+        clean = decontaminate(docs, probes, n=5).toPandas()
+        assert set(clean.doc_id) == {2}
+
+    def test_hash_split_deterministic_and_balanced(self, spark):
+        from geodistpy_spark.textops import hash_split
+
+        df = spark.createDataFrame([(i,) for i in range(4000)], "doc_id long")
+        a = hash_split(df, val_frac=0.1).toPandas().set_index("doc_id").split
+        b = hash_split(df, val_frac=0.1).toPandas().set_index("doc_id").split
+        assert (a == b).all()                       # deterministic
+        frac = (a == "val").mean()
+        assert 0.07 < frac < 0.13                   # ~10% of 4000 keys
+        c = hash_split(df, val_frac=0.1, salt="v2").toPandas() \
+            .set_index("doc_id").split
+        assert (a != c).any()                       # independent draw
+        # multi-row keys land on ONE side (no leakage)
+        multi = spark.createDataFrame(
+            [(i % 50, i) for i in range(500)], "doc_id long, row long")
+        m = hash_split(multi, val_frac=0.3).toPandas()
+        assert (m.groupby("doc_id").split.nunique() == 1).all()
