@@ -79,40 +79,131 @@ def _map_lon_into_ring(plon_u: np.ndarray, ring_lon_min: float) -> np.ndarray:
     return ring_lon_min + np.mod(plon_u - ring_lon_min, 360.0)
 
 
-def polygon_cover_pairs(polys: list[dict], res: int | None = None):
-    """[(cell_id, poly_id)] candidate pairs at a shared resolution.
+def _raycast(vlat: np.ndarray, vlon_u: np.ndarray,
+             plat: np.ndarray, plon: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd ray-cast of mapped points against one prepped
+    ring (edge loop over <= ~20 edges, vectorized over points)."""
+    acc = np.zeros(len(plat), dtype=bool)
+    x2 = np.roll(vlon_u, -1)
+    y2 = np.roll(vlat, -1)
+    for e in range(len(vlat)):
+        xi, yi, xj, yj = vlon_u[e], vlat[e], x2[e], y2[e]
+        if yi == yj:
+            continue
+        cond = (yi > plat) != (yj > plat)
+        xint = (xj - xi) * (plat - yi) / (yj - yi) + xi
+        acc ^= cond & (plon < xint)
+    return acc
 
-    ``polys``: [{poly_id, lat: ndarray, lon: ndarray}]. Cover = all cells
-    intersecting the unwrapped bbox inflated by one cell (conservative
-    for the even-odd interior, which is a subset of the bbox).
+
+def _classify_cover(vlat: np.ndarray, vlon_u: np.ndarray, ref: float,
+                    ys: np.ndarray, xs: np.ndarray, n: int) -> np.ndarray:
+    """Per cover cell: 0 = fully outside the ring, 1 = fully inside,
+    2 = boundary (a ring edge may cross the cell).
+
+    Conservative: a cell is 'boundary' whenever ANY edge's AABB touches
+    the closed cell rect (cheap vectorized test; over-marks diagonal-edge
+    neighborhoods, never under-marks). If no edge touches the cell, every
+    point of the closed cell shares the cell CENTER's inside/outside
+    status, so interior cells skip the per-point refine entirely and
+    outside cells never reach the candidate join — Arrow/refine volume
+    scales with polygon PERIMETER cells, not area cells.
+    """
+    w_lat = 180.0 / n
+    w_lon = 360.0 / n
+    cy = -90.0 + (ys + 0.5) * w_lat
+    cx = _map_lon_into_ring(
+        _unwrap(-180.0 + (xs + 0.5) * w_lon, ref), float(vlon_u.min()))
+    # tiny inflation: an edge grazing a rect corner must classify as
+    # touching even under float roundoff (uniformity needs the OPEN
+    # complement of every edge)
+    eps = 1e-12 * max(w_lon, w_lat)
+    bx0, bx1 = cx - w_lon / 2.0 - eps, cx + w_lon / 2.0 + eps
+    by0, by1 = cy - w_lat / 2.0 - eps, cy + w_lat / 2.0 + eps
+    # the shortcut's uniformity argument needs the refine UDF's lon
+    # mapping to be continuous across the cell: only cells whose rect
+    # lies wholly inside the 360-wide mapping window qualify; straddlers
+    # (possible when a near-global ring's padded cover wraps) stay
+    # 'boundary' so the per-point refine keeps deciding them
+    lo_min = float(vlon_u.min())
+    in_window = (bx0 >= lo_min) & (bx1 < lo_min + 360.0 - 1e-9)
+    # exact segment-rect intersection (vectorized Liang-Barsky over
+    # cells x edges): an AABB-only test over-marks every diagonal
+    # edge's whole bounding rect as boundary
+    ex1 = vlon_u
+    ey1 = vlat
+    dx = (np.roll(vlon_u, -1) - vlon_u)[None, :]
+    dy = (np.roll(vlat, -1) - vlat)[None, :]
+    t0 = np.zeros((len(ys), len(vlat)))
+    t1 = np.ones_like(t0)
+    ok = np.ones(t0.shape, dtype=bool)
+    for p, q in (
+        (np.broadcast_to(-dx, t0.shape), ex1[None, :] - bx0[:, None]),
+        (np.broadcast_to(dx, t0.shape), bx1[:, None] - ex1[None, :]),
+        (np.broadcast_to(-dy, t0.shape), ey1[None, :] - by0[:, None]),
+        (np.broadcast_to(dy, t0.shape), by1[:, None] - ey1[None, :]),
+    ):
+        par = p == 0.0
+        ok &= ~(par & (q < 0.0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = q / p
+        t0 = np.where(p < 0.0, np.maximum(t0, t), t0)
+        t1 = np.where(p > 0.0, np.minimum(t1, t), t1)
+    touches = (ok & (t0 <= t1)).any(axis=1)
+    out = np.full(len(ys), 2, dtype=np.int8)
+    quiet = ~touches & in_window
+    if quiet.any():
+        inside = _raycast(vlat, vlon_u, cy[quiet], cx[quiet])
+        out[quiet] = np.where(inside, 1, 0)
+    return out
+
+
+def _cover_entries(vlat: np.ndarray, vlon_u: np.ndarray, ref: float,
+                   res: int) -> tuple[np.ndarray, np.ndarray]:
+    """(cell_ids, full_flags) — classified conservative cover of one
+    prepped ring at ``res``: all cells intersecting the unwrapped bbox
+    inflated by one cell, MINUS cells proven fully outside; ``full``
+    marks cells proven fully inside (their points skip the per-point
+    refine)."""
+    n = 1 << res
+    la0, la1, lo0, lo1 = _ring_bbox(vlat, vlon_u)
+    pad_lat = 180.0 / n
+    y0 = max(int((la0 - pad_lat + 90.0) / 180.0 * n), 0)
+    y1 = min(int((la1 + pad_lat + 90.0) / 180.0 * n), n - 1)
+    x0f = lo0 - 360.0 / n
+    x1f = lo1 + 360.0 / n
+    span_cells = min(int(math.ceil((x1f - x0f) / (360.0 / n))) + 1, n)
+    # map unwrapped lon back to absolute for cell x
+    x_start = int(math.floor((((x0f + ref) + 180.0) % 360.0) / 360.0 * n))
+    ys, xs = np.meshgrid(np.arange(y0, y1 + 1),
+                         (x_start + np.arange(span_cells)) % n,
+                         indexing="ij")
+    ys, xs = ys.ravel(), xs.ravel()
+    status = _classify_cover(vlat, vlon_u, ref, ys, xs, n)
+    keep = status > 0
+    return ys[keep].astype(np.int64) * n + xs[keep], status[keep] == 1
+
+
+def polygon_cover_pairs(polys: list[dict]):
+    """[(res, cell_id, poly_id, full)] candidate pairs, one classified
+    cover per polygon at its own resolution (cells a bit smaller than
+    the ring bbox — a shared resolution would let the largest ring, e.g.
+    a polar cap, blow up every small ring's cover slop).
+
+    ``polys``: [{poly_id, lat: ndarray, lon: ndarray}].
     """
     prepped = {}
-    spans = []
+    pairs = []
     for p in polys:
         vlat, vlon_u, ref = _prep_polygon(np.asarray(p["lat"], float), np.asarray(p["lon"], float))
-        prepped[p["poly_id"]] = (vlat, vlon_u, ref)
+        pid = p["poly_id"]
+        prepped[pid] = (vlat, vlon_u, ref)
         la0, la1, lo0, lo1 = _ring_bbox(vlat, vlon_u)
-        spans.append(max(la1 - la0, lo1 - lo0, 1e-3))
-    if res is None:
-        # shared res: largest polygon drives the cell size (keeps every
-        # cover <= a few hundred cells)
-        res = min(max(int(math.floor(math.log2(360.0 / max(spans)))) + 3, 0), grid.MAX_RES)
-    n = 1 << res
-    pairs = []
-    for pid, (vlat, vlon_u, ref) in prepped.items():
-        la0, la1, lo0, lo1 = _ring_bbox(vlat, vlon_u)
-        pad_lat = 180.0 / n
-        y0 = max(int((la0 - pad_lat + 90.0) / 180.0 * n), 0)
-        y1 = min(int((la1 + pad_lat + 90.0) / 180.0 * n), n - 1)
-        x0f = lo0 - 360.0 / n
-        x1f = lo1 + 360.0 / n
-        span_cells = min(int(math.ceil((x1f - x0f) / (360.0 / n))) + 1, n)
-        # map unwrapped lon back to absolute for cell x
-        x_start = int(math.floor((((x0f + ref) + 180.0) % 360.0) / 360.0 * n))
-        for y in range(y0, y1 + 1):
-            for i in range(span_cells):
-                pairs.append(((y * n + (x_start + i) % n), pid))
-    return res, pairs, prepped
+        res = _poly_res(max(la1 - la0, lo1 - lo0))
+        cells, full = _cover_entries(vlat, vlon_u, ref, res)
+        pairs.extend(
+            (res, int(c), pid, bool(f)) for c, f in zip(cells, full))
+    return pairs, prepped
 
 
 def _pip_refine_udf(prepped: dict):
@@ -129,27 +220,19 @@ def _pip_refine_udf(prepped: dict):
             sel = pid == p
             plat = la[sel]
             plon = _map_lon_into_ring(_unwrap(lo[sel], ref), vlon_u.min())
-            acc = np.zeros(len(plat), dtype=bool)
-            x1, y1 = vlon_u, vlat
-            x2 = np.roll(vlon_u, -1)
-            y2 = np.roll(vlat, -1)
-            for e in range(len(vlat)):
-                xi, yi, xj, yj = x1[e], y1[e], x2[e], y2[e]
-                if yi == yj:
-                    continue
-                cond = (yi > plat) != (yj > plat)
-                xint = (xj - xi) * (plat - yi) / (yj - yi) + xi
-                acc ^= cond & (plon < xint)
-            inside[sel] = acc
+            inside[sel] = _raycast(vlat, vlon_u, plat, plon)
         return pd.Series(inside)
 
     return _refine
 
 
 def _poly_res(span_deg: float) -> int:
-    """Per-polygon cover resolution: cells a bit smaller than the ring's
-    bbox span (covers stay tens of cells)."""
-    return min(max(int(math.floor(math.log2(360.0 / max(span_deg, 1e-3)))) + 3, 0),
+    """Per-polygon cover resolution: ~16 cells across the ring's bbox
+    (covers stay a few hundred cells). Finer cells buy two things at
+    once: most cover cells classify as provably-interior (points skip
+    the Python refine) and provably-outside cells prune tighter (fewer
+    false candidates through the join)."""
+    return min(max(int(math.floor(math.log2(360.0 / max(span_deg, 1e-3)))) + 4, 0),
                grid.MAX_RES)
 
 
@@ -160,6 +243,7 @@ _PREP_SCHEMA = T.StructType([
     T.StructField("vlon_u", T.ArrayType(T.DoubleType())),
     T.StructField("ref", T.DoubleType()),
     T.StructField("cover", T.ArrayType(T.LongType())),
+    T.StructField("cover_full", T.ArrayType(T.BooleanType())),
 ])
 
 
@@ -178,25 +262,14 @@ def _prep_polygons_rel(polygons: DataFrame) -> DataFrame:
                 vlat, u, ref = _prep_polygon(vlat, vlon)
                 la0, la1, lo0, lo1 = _ring_bbox(vlat, u)
                 res = _poly_res(max(la1 - la0, lo1 - lo0))
-                n = 1 << res
-                pad_lat = 180.0 / n
-                y0 = max(int((la0 - pad_lat + 90.0) / 180.0 * n), 0)
-                y1 = min(int((la1 + pad_lat + 90.0) / 180.0 * n), n - 1)
-                x0f = lo0 - 360.0 / n
-                x1f = lo1 + 360.0 / n
-                span_cells = min(int(math.ceil((x1f - x0f) / (360.0 / n))) + 1, n)
-                x_start = int(math.floor((((x0f + ref) + 180.0) % 360.0) / 360.0 * n))
-                cover = [
-                    y * n + (x_start + i) % n
-                    for y in range(y0, y1 + 1)
-                    for i in range(span_cells)
-                ]
+                cells, full = _cover_entries(vlat, u, ref, res)
                 out["poly_id"].append(pid)
                 out["__res"].append(res)
                 out["vlat"].append(vlat.tolist())
                 out["vlon_u"].append(u.tolist())
                 out["ref"].append(ref)
-                out["cover"].append(cover)
+                out["cover"].append(cells.tolist())
+                out["cover_full"].append(full.tolist())
             yield pd.DataFrame(out)
 
     return polygons.select("poly_id", "ring").mapInPandas(_prep, _PREP_SCHEMA)
@@ -222,17 +295,7 @@ def _pip_refine_rel_udf(lat: pd.Series, lon: pd.Series, poly_id: pd.Series,
         rf = float(ref.iloc[first])
         plat = la[sel]
         plon = _map_lon_into_ring(_unwrap(lo[sel], rf), vlo.min())
-        acc = np.zeros(len(plat), dtype=bool)
-        x2 = np.roll(vlo, -1)
-        y2 = np.roll(vla, -1)
-        for e in range(len(vla)):
-            xi, yi, xj, yj = vlo[e], vla[e], x2[e], y2[e]
-            if yi == yj:
-                continue
-            cond = (yi > plat) != (yj > plat)
-            xint = (xj - xi) * (plat - yi) / (yj - yi) + xi
-            acc ^= cond & (plon < xint)
-        inside[sel] = acc
+        inside[sel] = _raycast(vla, vlo, plat, plon)
     return pd.Series(inside)
 
 
@@ -252,7 +315,12 @@ def _pip_join_relational(pts: DataFrame, polygons: DataFrame,
     """
     prepped = _prep_polygons_rel(polygons)
     pairs = prepped.select(
-        "poly_id", "__res", F.explode("cover").alias("__cell"))
+        "poly_id", "__res",
+        F.explode(F.arrays_zip(
+            F.col("cover").alias("c"), F.col("cover_full").alias("f"),
+        )).alias("__cf"),
+    ).select("poly_id", "__res",
+             F.col("__cf.c").alias("__cell"), F.col("__cf.f").alias("__full"))
     # the only driver round-trip: WHICH resolutions are active (<= 26
     # ints, metadata not data)
     res_list = sorted(
@@ -270,12 +338,17 @@ def _pip_join_relational(pts: DataFrame, polygons: DataFrame,
     )
     cand = ptsx.join(pairs, on=["__res", "__cell"], how="inner") \
         .drop("__res", "__cell")
+    # interior-cell candidates are hits without touching the ring arrays
+    # or Python; only boundary-cell candidates join the rings + refine
+    full_hit = cand.filter(F.col("__full")).drop("__full")
     rings = prepped.select("poly_id", "vlat", "vlon_u", "ref")
-    withring = cand.join(rings, on="poly_id", how="inner")
-    hit = withring.filter(_pip_refine_rel_udf(
+    withring = cand.filter(~F.col("__full")).drop("__full") \
+        .join(rings, on="poly_id", how="inner")
+    bnd_hit = withring.filter(_pip_refine_rel_udf(
         F.col(lat_col), F.col(lon_col), F.col("poly_id"),
-        F.col("vlat"), F.col("vlon_u"), F.col("ref")))
-    return hit.drop("vlat", "vlon_u", "ref")
+        F.col("vlat"), F.col("vlon_u"), F.col("ref"))) \
+        .drop("vlat", "vlon_u", "ref")
+    return full_hit.unionByName(bnd_hit)
 
 
 def _load_polygons(polygons: DataFrame) -> list[dict]:
@@ -340,13 +413,31 @@ def point_in_polygon_join(points: DataFrame, polygons: DataFrame,
     else:
         spark = points.sparkSession
         polys = _load_polygons(polygons)
-        res, pairs, prepped = polygon_cover_pairs(polys)
-        pairs_df = spark.createDataFrame(pairs, schema="__cell long, poly_id long")
-        cells = pts.withColumn("__cell", cell_id_col(lat_col, lon_col, res))
-        cand = cells.join(F.broadcast(pairs_df), on="__cell", how="inner")
+        pairs, prepped = polygon_cover_pairs(polys)
+        pairs_df = spark.createDataFrame(
+            pairs, schema="__res int, __cell long, poly_id long, __full boolean")
+        res_list = sorted({r for r, _, _, _ in pairs})
+        cells_arr = F.array(*[
+            F.struct(F.lit(r).cast("int").alias("r"),
+                     cell_id_col(lat_col, lon_col, r).alias("c"))
+            for r in res_list
+        ])
+        ptsx = (
+            pts.withColumn("__rc", F.explode(cells_arr))
+            .withColumn("__res", F.col("__rc.r"))
+            .withColumn("__cell", F.col("__rc.c"))
+            .drop("__rc")
+        )
+        cand = ptsx.join(F.broadcast(pairs_df), on=["__res", "__cell"],
+                         how="inner")
+        # interior-cell points are proven hits JVM-side; only boundary-
+        # cell points pay the Arrow transfer + Python ray-cast (refine
+        # volume ~ polygon perimeter cells, not area cells)
         refine = _pip_refine_udf(prepped)
-        hit = cand.filter(
-            refine(F.col(lat_col), F.col(lon_col), F.col("poly_id"))).drop("__cell")
+        full_hit = cand.filter(F.col("__full"))
+        bnd_hit = cand.filter(~F.col("__full")).filter(
+            refine(F.col(lat_col), F.col(lon_col), F.col("poly_id")))
+        hit = full_hit.unionByName(bnd_hit).drop("__res", "__cell", "__full")
     if how == "inner":
         return hit
     return pts.join(hit.select("__pt", "poly_id"), on="__pt", how="left").drop("__pt")

@@ -561,6 +561,59 @@ class TestPolygons:
         assert abs(got[2] - cap) / cap < 1e-9
         assert abs(got[3] - am) / am < 1e-9
 
+    def test_cover_classification_invariants(self, polygons):
+        # cells the cover classifier marks 'full' must contain ONLY
+        # inside points, and cells it drops as 'outside' must contain
+        # NO inside points — checked by dense sampling against the same
+        # ray-cast the refine UDF runs (the classifier's promise is
+        # exactly "the whole cell shares the center's status")
+        import math
+
+        from geodistpy_spark.operators.polygons import (
+            _load_polygons, _map_lon_into_ring, _raycast, _unwrap,
+            polygon_cover_pairs)
+
+        polys = _load_polygons(polygons)
+        pairs, prepped = polygon_cover_pairs(polys)
+        by_pid: dict = {}
+        res_of: dict = {}
+        for res, cell, pid, full in pairs:
+            by_pid.setdefault(pid, {})[cell] = full
+            res_of[pid] = res
+        g = np.linspace(0.02, 0.98, 7)
+        gy, gx = np.meshgrid(g, g, indexing="ij")
+        n_full = n_dropped = 0
+        for p in polys:
+            pid = int(p["poly_id"])
+            vlat, vlon_u, ref = prepped[pid]
+            n = 1 << res_of[pid]
+            la0 = math.floor((vlat.min() + 90.0) / 180.0 * n) - 1
+            la1 = math.floor((vlat.max() + 90.0) / 180.0 * n) + 1
+            # x sweep: the cover's columns + 3 guard cells each side
+            # (cells further out are > 1 cell from any edge; full-plane
+            # candidate conservativeness is test_pip_vs_brute's job)
+            cov_x = sorted({c % n for c in by_pid[pid]})
+            xs_sweep = sorted({(x + d) % n for x in cov_x
+                               for d in range(-3, 4)})
+            for y in range(max(la0, 0), min(la1, n - 1) + 1):
+                for x in xs_sweep:
+                    plat = -90.0 + (y + gy.ravel()) * 180.0 / n
+                    plon_abs = -180.0 + (x + gx.ravel()) * 360.0 / n
+                    inside = _raycast(
+                        vlat, vlon_u, plat,
+                        _map_lon_into_ring(_unwrap(plon_abs, ref),
+                                           float(vlon_u.min())))
+                    cell = y * n + x
+                    flag = by_pid[pid].get(cell)
+                    if flag is True:
+                        n_full += 1
+                        assert inside.all(), (pid, cell, "full cell leak")
+                    elif flag is None:
+                        n_dropped += 1
+                        assert not inside.any(), (pid, cell, "dropped hit")
+        assert n_full > 0  # classifier actually proves interiors
+        assert n_dropped > 0  # and actually prunes outside cells
+
     def test_relational_strategy_matches_broadcast(self, places, polygons, monkeypatch):
         # the no-driver-collect path must reproduce the broadcast path
         # exactly across the fixture's ordinary/antimeridian/polar rings —
