@@ -748,6 +748,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = hash_split(_flat_docs(spark, sf_dir), val_frac=0.1)
         return out.select("doc_id", "split")
 
+    def q_stratified_sample(spark, sf_dir):
+        # exact per-language 20% sample, md5-ranked (reproducible draw)
+        from geodistpy_spark.textops import stratified_sample
+
+        out = stratified_sample(_flat_docs(spark, sf_dir), "lang", frac=0.2)
+        return out.select("doc_id", "lang")
+
+    def q_dedup_best(spark, sf_dir):
+        # near-dup dedup keeping the highest-quality (longest) member of
+        # each duplicate cluster instead of an arbitrary one
+        from geodistpy_spark.textops import dedup_near
+
+        out = dedup_near(_flat_docs(spark, sf_dir), threshold=0.5,
+                         keep="best", score_col="n_chars")
+        return out.select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+
     def q_embedding_topk(spark, sf_dir):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         q = emb.filter(F.col("vec_id") < 5).select(
@@ -933,6 +949,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "contamination": q_contamination,
         "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "dedup_best": q_dedup_best,
         "sessionize": q_sessionize,
         "media_features": q_media_features,
         "ivf_topk": q_ivf_topk,
@@ -1244,6 +1262,16 @@ def oracle_sql() -> dict[str, str]:
             )
             + ") < 6554 THEN 'val' ELSE 'train' END AS split FROM documents"
         ),
+        # exact per-stratum quota: rank by md5(salt:id) inside each lang,
+        # keep ceil(0.2 * stratum size)
+        "stratified_sample": (
+            "SELECT doc_id, lang FROM ("
+            "SELECT doc_id, lang, "
+            "row_number() OVER (PARTITION BY lang ORDER BY "
+            "md5(concat('v1', ':', CAST(doc_id AS VARCHAR))), doc_id) AS rn, "
+            "count(*) OVER (PARTITION BY lang) AS n FROM documents"
+            ") WHERE rn <= ceil(2e-1 * n)"
+        ),
         "embedding_topk": (
             "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
             "FROM embeddings WHERE vec_id < 5), "
@@ -1368,6 +1396,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, doc_id FROM documents "
             "UNION SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst) "
             "SELECT src AS doc_id, min(dst) AS group_id FROM reach GROUP BY src"
+        ),
+        # same transitive closure, then keep the longest member (ties ->
+        # smallest id) of each component
+        "dedup_best": (
+            jacc_base.replace("WITH ", "WITH RECURSIVE ", 1)
+            + ", jac AS (SELECT p.id_1, p.id_2 FROM pairs p "
+            "JOIN sizes z1 ON z1.doc_id = p.id_1 JOIN sizes z2 ON z2.doc_id = p.id_2 "
+            "LEFT JOIN inter i ON p.id_1 = i.id_1 AND p.id_2 = i.id_2 "
+            "WHERE coalesce(i.n_inter, 0) / (z1.n_sh + z2.n_sh - coalesce(i.n_inter, 0)) >= 5e-1), "
+            "e AS (SELECT id_1 AS a, id_2 AS b FROM jac "
+            "UNION ALL SELECT id_2, id_1 FROM jac), "
+            "reach(src, dst) AS ("
+            "SELECT doc_id, doc_id FROM documents "
+            "UNION SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst), "
+            "grp AS (SELECT src AS doc_id, min(dst) AS group_id FROM reach GROUP BY src) "
+            "SELECT d.doc_id, d.n_chars FROM documents d "
+            "JOIN grp g ON d.doc_id = g.doc_id "
+            "QUALIFY row_number() OVER (PARTITION BY g.group_id "
+            "ORDER BY d.n_chars DESC, d.doc_id) = 1"
         ),
         # k-ring density smoothing: counted cells donate to (2k+1)^2
         # neighbors — x wraps, y clamps (same rules as grid.k_ring)

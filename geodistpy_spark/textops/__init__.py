@@ -25,10 +25,15 @@ from .dedup import (
     tokenize,
 )
 from .multimodal import decode_media, fetch_media_bytes, media_feature_pipeline
-from .sampling import decontaminate, hash_split, ngram_contamination
+from .sampling import (
+    decontaminate,
+    hash_split,
+    ngram_contamination,
+    stratified_sample,
+)
 
 __all__ = [
-    "decontaminate", "hash_split", "ngram_contamination",
+    "decontaminate", "hash_split", "ngram_contamination", "stratified_sample",
     "doc_fingerprint", "language_id", "quality_score", "rolling_fingerprints",
     "token_count", "token_count_bpe", "trigram_logprob", "build_ivf_index", "cosine_topk", "ivf_topk", "train_centroids", "dedup_exact",
     "embedding_near_pairs", "exact_duplicates", "lsh_candidate_pairs",

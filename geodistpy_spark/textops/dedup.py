@@ -281,12 +281,34 @@ def near_dup_groups(df: DataFrame, id_col: str = "doc_id",
 
 
 def dedup_near(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-               k: int = 3, threshold: float = 0.7) -> DataFrame:
+               k: int = 3, threshold: float = 0.7,
+               keep: str = "min_id", score_col: str | None = None) -> DataFrame:
     """Near-duplicate dedup: keep ONE doc per connected component of the
-    near-dup graph (the smallest id), all columns preserved."""
+    near-dup graph, all columns preserved.
+
+    ``keep='min_id'`` keeps the smallest id (cheap: component labels ARE
+    min-ids, no extra pass). ``keep='best'`` keeps the row maximizing
+    ``score_col`` (ties broken by smallest id) — the production policy:
+    survivors are the highest-QUALITY cluster member, not an arbitrary
+    one. The ranking window partitions by component label, so its cost
+    follows cluster sizes, not corpus size.
+    """
     groups = near_dup_groups(df, id_col, text_col, k, threshold)
-    keep = groups.filter(F.col(id_col) == F.col("group_id")).select(id_col)
-    return df.join(keep, on=id_col, how="left_semi")
+    if keep == "min_id":
+        keep_ids = groups.filter(F.col(id_col) == F.col("group_id")).select(id_col)
+    elif keep == "best":
+        if score_col is None:
+            raise ValueError("keep='best' requires score_col")
+        w = Window.partitionBy("group_id").orderBy(
+            F.col(score_col).desc(), F.col(id_col))
+        keep_ids = (
+            df.select(id_col, score_col).join(groups, on=id_col, how="inner")
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).select(id_col)
+        )
+    else:
+        raise ValueError(f"unknown keep={keep!r} (min_id|best)")
+    return df.join(keep_ids, on=id_col, how="left_semi")
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",

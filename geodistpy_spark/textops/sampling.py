@@ -13,7 +13,7 @@ table carries multiple rows per document).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import shingles
@@ -85,3 +85,34 @@ def hash_split(df: DataFrame, key_col: str = "doc_id",
     cut = int(round(val_frac * 65536))
     return df.withColumn(
         out, F.when(bucket < cut, F.lit("val")).otherwise(F.lit("train")))
+
+
+def stratified_sample(df: DataFrame, strata_col: str,
+                      key_col: str = "doc_id", frac: float = 0.1,
+                      salt: str = "v1", exact: bool = True) -> DataFrame:
+    """Deterministic proportional stratified sample: each stratum
+    contributes the same fraction, selected by md5(salt:key) so the draw
+    is reproducible across engines, runs and cluster sizes. All columns
+    preserved.
+
+    ``exact=True`` keeps EXACTLY ceil(frac * n_stratum) rows per stratum
+    (rank by hash inside each stratum — one shuffle on ``strata_col``;
+    window sort per stratum, so at extreme scale a single giant stratum
+    sorts on few tasks). ``exact=False`` thresholds the hash directly
+    (hash_split-style): no window, fully scale-safe, binomial jitter
+    around the quota.
+    """
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError(f"frac must be in [0, 1], got {frac}")
+    h = F.md5(F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string")))
+    if not exact:
+        bucket = F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
+        return df.filter(bucket < int(round(frac * 65536)))
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(key_col))
+    wall = Window.partitionBy(strata_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wall))
+        .filter(F.col("__rn") <= F.ceil(F.lit(float(frac)) * F.col("__n")))
+        .drop("__rn", "__n")
+    )

@@ -469,3 +469,51 @@ class TestSamplingOps:
             [(i % 50, i) for i in range(500)], "doc_id long, row long")
         m = hash_split(multi, val_frac=0.3).toPandas()
         assert (m.groupby("doc_id").split.nunique() == 1).all()
+
+    def test_stratified_sample_exact_quota(self, spark):
+        import math
+
+        from geodistpy_spark.textops import stratified_sample
+
+        df = spark.createDataFrame(
+            [(i, ["en", "fr", "de"][i % 3]) for i in range(1000)]
+            + [(9999, "sw")],  # 1-row stratum: ceil keeps it
+            "doc_id long, lang string")
+        got = stratified_sample(df, "lang", frac=0.15).toPandas()
+        per = got.groupby("lang").doc_id.count()
+        sizes = {"en": 334, "fr": 333, "de": 333, "sw": 1}
+        for lang, n in sizes.items():
+            assert per[lang] == math.ceil(0.15 * n), lang
+        # deterministic: identical draw on re-run
+        again = stratified_sample(df, "lang", frac=0.15).toPandas()
+        assert set(got.doc_id) == set(again.doc_id)
+        # approx mode: no window, frac within binomial noise
+        ap = stratified_sample(df, "lang", frac=0.5, exact=False).toPandas()
+        assert 0.4 < len(ap) / 1001 < 0.6
+        with pytest.raises(ValueError, match="frac"):
+            stratified_sample(df, "lang", frac=-0.1)
+
+    def test_dedup_near_keep_best(self, spark):
+        from geodistpy_spark.textops import dedup_near
+
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        docs = spark.createDataFrame([
+            (10, base + " extra tail words here", 40),   # longest in cluster
+            (11, base + " extra tail", 20),
+            (12, base, 10),
+            (50, "totally different content with no overlap at all", 8),
+        ], "doc_id long, text string, n_chars long")
+        best = dedup_near(docs, threshold=0.3, keep="best",
+                          score_col="n_chars").toPandas()
+        assert set(best.doc_id) == {10, 50}          # 10 beats 11/12 on score
+        minid = dedup_near(docs, threshold=0.3).toPandas()
+        assert set(minid.doc_id) == {10, 50}         # here min id == best
+        # tie on score -> smallest id wins
+        tied = spark.createDataFrame([
+            (21, base, 10), (22, base, 10),
+        ], "doc_id long, text string, n_chars long")
+        t = dedup_near(tied, threshold=0.3, keep="best",
+                       score_col="n_chars").toPandas()
+        assert set(t.doc_id) == {21}
+        with pytest.raises(ValueError, match="score_col"):
+            dedup_near(docs, keep="best")
