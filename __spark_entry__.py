@@ -691,6 +691,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_lsh_pairs(spark, sf_dir):
         return lsh_candidate_pairs(_flat_docs(spark, sf_dir))
 
+    def q_lsh_pairs_capped(spark, sf_dir):
+        # hot-band cap engaged (drops the fixture's size-3 buckets):
+        # gates the scale guard's semantics, not just the uncapped path
+        return lsh_candidate_pairs(_flat_docs(spark, sf_dir), max_band_size=2)
+
     def q_jaccard_pairs(spark, sf_dir):
         nd = near_duplicates_minhash(_flat_docs(spark, sf_dir), threshold=0.0)
         return nd.select("id_1", "id_2", "n_inter", "n_1", "n_2",
@@ -939,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "lsh_pairs": q_lsh_pairs,
+        "lsh_pairs_capped": q_lsh_pairs_capped,
         "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
         "token_quality": q_token_quality,
@@ -1187,6 +1193,18 @@ def oracle_sql() -> dict[str, str]:
             f"{_minhash_cte()} SELECT * FROM sig"
         ),
         "lsh_pairs": _lsh_pairs_sql(),
+        # capped variant: buckets above max_band_size=2 dropped BEFORE
+        # the self-join (mirrors dedup.lsh_candidate_pairs's hot-band
+        # guard exactly)
+        "lsh_pairs_capped": (
+            f"{_bands_cte()}, "
+            "bsz AS (SELECT band_key, count(*) AS n FROM bands GROUP BY band_key), "
+            "kept AS (SELECT b.doc_id, b.band_key FROM bands b "
+            "JOIN bsz z ON b.band_key = z.band_key WHERE z.n <= 2) "
+            "SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2 "
+            "FROM kept a JOIN kept b ON a.band_key = b.band_key "
+            "WHERE a.doc_id < b.doc_id"
+        ),
         "jaccard_pairs": (
             f"{jacc_base} "
             "SELECT p.id_1, p.id_2, coalesce(i.n_inter, 0) AS n_inter, "
