@@ -65,7 +65,7 @@ from pyspark.sql import types as T
 
 from .. import grid
 from ..constants import unit_factor
-from ..functions.expressions import cell_id_col, great_circle_m
+from ..functions.expressions import cell_id_col, great_circle_m, haversine_m
 from ..functions.udfs import vincenty_udf
 
 EARTH_AREA_M2 = 5.10072e14
@@ -251,13 +251,13 @@ def _topk_in_radius(qr: DataFrame, cand: DataFrame, k: int, res: int,
 
     joined = q.join(c, on=join_keys, how="inner")
     if exact:
-        # conservative codegen prefilter (see radius._gc_margin_m):
-        # Andoyer-Lambert is within O(f^2 s) of the exact geodesic, so
-        # gc > __r * 1.001 + 5 km is provably outside the disk — those
-        # rows (the cover box's corners) never reach the Arrow kernel
+        # conservative codegen prefilter (see radius._prefilter_margin_m
+        # for the haversine-not-AL rationale): hav > __r * 1.01 + 5 km
+        # is provably outside the disk — those rows (the cover box's
+        # corners) never reach the Arrow kernel
         joined = joined.filter(
-            great_circle_m("__qlat", "__qlon", c_lat, c_lon)
-            <= F.col("__r") * 1.001 + 5_000.0)
+            haversine_m("__qlat", "__qlon", c_lat, c_lon)
+            <= F.col("__r") * 1.01 + 5_000.0)
         d = vincenty_udf(ellipsoid, once=True)(F.col("__qlat"), F.col("__qlon"),
                                                F.col(c_lat), F.col(c_lon))
     else:

@@ -25,7 +25,7 @@ from pyspark.sql import types as T
 
 from .. import grid
 from ..constants import unit_factor
-from ..functions.expressions import cell_id_col, great_circle_m
+from ..functions.expressions import cell_id_col, great_circle_m, haversine_m
 from ..functions.udfs import vincenty_udf
 
 
@@ -54,14 +54,12 @@ def point_in_radius(df: DataFrame, center: tuple[float, float], radius,
     cell = F.col(cell_col) if cell_col else cell_id_col(lat_col, lon_col, cres)
     pre = df.filter(cell.isin(cover))
     if exact:
-        # conservative codegen prefilter: Andoyer-Lambert differs from
-        # the true geodesic by O(f^2 s) (~220 m worst case, at antipodal
-        # range), so rows with gc > r + margin are provably outside r
-        # and skip the Arrow kernel — the cover box's corner area (~27%
-        # of candidates) never reaches Python
+        # conservative codegen prefilter (see _prefilter_margin_m):
+        # provably-outside rows — the cover box's corner area (~27% of
+        # candidates) — never reach the Arrow kernel
         pre = pre.filter(
-            great_circle_m(F.lit(clat), F.lit(clon), F.col(lat_col), F.col(lon_col))
-            <= radius_m + _gc_margin_m(radius_m))
+            haversine_m(F.lit(clat), F.lit(clon), F.col(lat_col), F.col(lon_col))
+            <= radius_m + _prefilter_margin_m(radius_m))
         d = vincenty_udf(ellipsoid, once=True)(F.lit(clat), F.lit(clon), F.col(lat_col), F.col(lon_col))
     else:
         d = great_circle_m(F.lit(clat), F.lit(clon), F.col(lat_col), F.col(lon_col))
@@ -71,13 +69,21 @@ def point_in_radius(df: DataFrame, center: tuple[float, float], radius,
     )
 
 
-def _gc_margin_m(radius_m: float) -> float:
-    """Margin making the great-circle prefilter CONSERVATIVE: the
-    Andoyer-Lambert expression's error vs the exact geodesic is
-    O(f^2 * s) ~ 1.1e-5 relative (~220 m at the antipodal extreme;
-    measured envelope mean 8.6 m). 1e-3 * r + 5 km is >20x that bound
-    at every radius, so a row rejected here is provably outside r."""
-    return radius_m * 1e-3 + 5_000.0
+def _prefilter_margin_m(radius_m: float) -> float:
+    """Margin making the spherical-haversine prefilter CONSERVATIVE:
+    haversine on the R=6371009 sphere is within 0.56% of the WGS-84
+    geodesic (the O(f*s) flattening bound), so 1e-2 * r + 5 km is ~2x
+    that bound at every radius — a row rejected here is provably
+    outside r.
+
+    Why haversine and NOT the Andoyer-Lambert column (which is 20x more
+    accurate): a filter fused into a join's codegen consume path gets NO
+    common-subexpression elimination, and AL's sigma subtree is
+    referenced six times — every joined row paid ~50 StrictMath calls,
+    a measured 15x wall blowup on the 500 km 2,000-query scaling job.
+    Haversine is 6 trig calls with no repeated subtrees; prefilter
+    accuracy only moves the margin, never correctness."""
+    return radius_m * 1e-2 + 5_000.0
 
 
 def _cover_cells_udf(radius_m: float, res: int):
@@ -179,10 +185,11 @@ def radius_join(queries: DataFrame, candidates: DataFrame, radius,
 
     joined = q.join(c, on=join_keys, how="inner")
     if exact:
-        # see _gc_margin_m: provably-outside rows skip the Arrow kernel
+        # see _prefilter_margin_m: provably-outside rows skip the Arrow
+        # kernel
         joined = joined.filter(
-            great_circle_m("__qlat", "__qlon", c_lat, c_lon)
-            <= radius_m + _gc_margin_m(radius_m))
+            haversine_m("__qlat", "__qlon", c_lat, c_lon)
+            <= radius_m + _prefilter_margin_m(radius_m))
         d = vincenty_udf(ellipsoid, once=True)(F.col("__qlat"), F.col("__qlon"), F.col(c_lat), F.col(c_lon))
     else:
         d = great_circle_m("__qlat", "__qlon", c_lat, c_lon)
