@@ -139,6 +139,40 @@ class TestRadius:
             exp = set(places_pd.place_id.values[d <= radius])
             assert set(got.place_id) == exp
 
+    def test_prefilter_plan_keeps_AL_out_of_predicates(self, spark):
+        # regression lock for the StrictMath blowup: ATAN appears only in
+        # the Andoyer-Lambert / bearing expressions, so (a) an EXACT-mode
+        # plan must contain no ATAN at all (haversine prefilter + Arrow
+        # kernel), and (b) a gc-mode plan may carry AL only inside the
+        # short-circuited band conjunct and the projection — never as a
+        # standalone pushed filter on the candidate scan
+        import re
+
+        from geodistpy_spark.operators import knn_join, radius_join
+
+        q = spark.createDataFrame([(0, 40.0, -74.0)],
+                                  "query_id long, q_lat double, q_lon double")
+        c = spark.createDataFrame([(1, 40.1, -74.1)],
+                                  "cid long, lat double, lon double")
+        exact_plan = radius_join(q, c, 100_000.0, exact=True) \
+            ._jdf.queryExecution().optimizedPlan().toString()
+        assert "ATAN" not in exact_plan.upper()
+        knn_plan = knn_join(q, c, 1, c_id="cid", exact=True) \
+            ._jdf.queryExecution().optimizedPlan().toString()
+        # knn phase-3 fallback legitimately projects AL when exact=False
+        # only; exact mode must be ATAN-free end to end
+        assert "ATAN" not in knn_plan.upper()
+        gc_plan = radius_join(q, c, 100_000.0, exact=False) \
+            ._jdf.queryExecution().optimizedPlan().toString()
+        for line in gc_plan.splitlines():
+            s = line.strip()
+            # any Filter/Join line carrying AL must also carry the
+            # haversine band guard (ASIN) that short-circuits it
+            if ("ATAN" in s.upper()) and (s.startswith("Filter")
+                                          or s.startswith("+- Filter")
+                                          or "Join Inner" in s):
+                assert "ASIN" in s.upper(), s[:200]
+
     def test_boundary_inclusive(self, spark):
         # candidate exactly AT the radius must be returned (distance.py:453)
         center = (10.0, 20.0)
