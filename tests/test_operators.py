@@ -198,6 +198,26 @@ class TestRadius:
             exp |= {(q.query_id, p) for p in places_pd.place_id.values[d <= radius]}
         assert got == exp
 
+    def test_radius_join_gc_km_vs_brute(self, spark, places, places_pd):
+        # gc mode + non-meter metric: the band decision mixes meter-
+        # domain conjuncts with the unit-domain tie-break — result set
+        # must still equal brute-force AL in the requested unit
+        qpd = places_pd.head(20).rename(
+            columns={"place_id": "query_id", "lat": "q_lat", "lon": "q_lon"}
+        )[["query_id", "q_lat", "q_lon"]]
+        queries = spark.createDataFrame(qpd)
+        rj = radius_join(queries, places, 250.0, metric="km", exact=False) \
+            .select("query_id", "place_id").toPandas()
+        got = set(zip(rj.query_id, rj.place_id))
+        exp = set()
+        for _, q in qpd.iterrows():
+            d = K.great_circle(np.full(len(places_pd), q.q_lat),
+                               np.full(len(places_pd), q.q_lon),
+                               places_pd.lat.values, places_pd.lon.values)
+            exp |= {(q.query_id, p)
+                    for p in places_pd.place_id.values[d / 1000.0 <= 250.0]}
+        assert got == exp
+
     def test_radius_join_salted_same_result(self, spark, places, places_pd):
         qpd = places_pd.head(10).rename(
             columns={"place_id": "query_id", "lat": "q_lat", "lon": "q_lon"}
