@@ -207,17 +207,26 @@ def polygon_cover_pairs(polys: list[dict]):
 
 
 def _pip_refine_udf(prepped: dict):
-    """(lat, lon, poly_id) -> bool, vectorized even-odd ray-cast."""
+    """(lat, lon, poly_id, full) -> bool, vectorized even-odd ray-cast.
+
+    ``full`` rows (cover cells proven fully interior) short-circuit to
+    True without touching the edge loop — Python compute follows
+    boundary-cell rows only, while the plan stays a SINGLE candidate
+    scan (a full/boundary union split would re-scan and re-join the
+    whole point side under a broadcast join, where there is no
+    exchange to reuse)."""
 
     @F.pandas_udf(T.BooleanType())
-    def _refine(lat: pd.Series, lon: pd.Series, poly_id: pd.Series) -> pd.Series:
+    def _refine(lat: pd.Series, lon: pd.Series, poly_id: pd.Series,
+                full: pd.Series) -> pd.Series:
         la = lat.to_numpy()
         lo = lon.to_numpy()
         pid = poly_id.to_numpy()
-        inside = np.zeros(len(la), dtype=bool)
-        for p in np.unique(pid):
+        inside = full.to_numpy(dtype=bool).copy()
+        todo = ~inside
+        for p in np.unique(pid[todo]):
             vlat, vlon_u, ref = prepped[p]
-            sel = pid == p
+            sel = todo & (pid == p)
             plat = la[sel]
             plon = _map_lon_into_ring(_unwrap(lo[sel], ref), vlon_u.min())
             inside[sel] = _raycast(vlat, vlon_u, plat, plon)
@@ -430,14 +439,13 @@ def point_in_polygon_join(points: DataFrame, polygons: DataFrame,
         )
         cand = ptsx.join(F.broadcast(pairs_df), on=["__res", "__cell"],
                          how="inner")
-        # interior-cell points are proven hits JVM-side; only boundary-
-        # cell points pay the Arrow transfer + Python ray-cast (refine
-        # volume ~ polygon perimeter cells, not area cells)
+        # one candidate scan; the UDF short-circuits interior-cell rows
+        # so the Python ray-cast follows polygon PERIMETER cells only
         refine = _pip_refine_udf(prepped)
-        full_hit = cand.filter(F.col("__full"))
-        bnd_hit = cand.filter(~F.col("__full")).filter(
-            refine(F.col(lat_col), F.col(lon_col), F.col("poly_id")))
-        hit = full_hit.unionByName(bnd_hit).drop("__res", "__cell", "__full")
+        hit = cand.filter(
+            refine(F.col(lat_col), F.col(lon_col), F.col("poly_id"),
+                   F.col("__full"))
+        ).drop("__res", "__cell", "__full")
     if how == "inner":
         return hit
     return pts.join(hit.select("__pt", "poly_id"), on="__pt", how="left").drop("__pt")
