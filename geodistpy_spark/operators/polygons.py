@@ -287,17 +287,20 @@ def _prep_polygons_rel(polygons: DataFrame) -> DataFrame:
 @F.pandas_udf(T.BooleanType())
 def _pip_refine_rel_udf(lat: pd.Series, lon: pd.Series, poly_id: pd.Series,
                         vlat: pd.Series, vlon_u: pd.Series,
-                        ref: pd.Series) -> pd.Series:
+                        ref: pd.Series, full: pd.Series) -> pd.Series:
     """Row-carried-ring variant of the even-odd ray-cast: the polygon
-    arrays arrive as columns (from the prepped join), grouped by poly_id
-    inside the batch so the edge loop vectorizes over that polygon's
-    points exactly like the broadcast path."""
+    arrays arrive as columns (carried on the exploded cover-pair
+    relation), grouped by poly_id inside the batch so the edge loop
+    vectorizes over that polygon's points exactly like the broadcast
+    path. ``full`` rows short-circuit to True — same single-scan
+    rationale as :func:`_pip_refine_udf`."""
     la = lat.to_numpy()
     lo = lon.to_numpy()
     pid = poly_id.to_numpy()
-    inside = np.zeros(len(la), dtype=bool)
-    for p in pd.unique(pid):
-        sel = pid == p
+    inside = full.to_numpy(dtype=bool).copy()
+    todo = ~inside
+    for p in pd.unique(pid[todo]):
+        sel = todo & (pid == p)
         first = int(np.flatnonzero(sel)[0])
         vla = np.asarray(vlat.iloc[first], dtype=float)
         vlo = np.asarray(vlon_u.iloc[first], dtype=float)
@@ -316,19 +319,25 @@ def _pip_join_relational(pts: DataFrame, polygons: DataFrame,
     row. Scales to arbitrarily many polygons (the broadcast path walls at
     the driver with ~10^5 rings).
 
-    Plan: one polygon scan (prep -> cover explode), one point scan
-    (ancestor cell per ACTIVE res — the distinct-res list is the only
-    driver action, bounded by grid.MAX_RES values), one shuffle equi-join
-    on (res, cell), one poly_id join to re-attach ring arrays, Arrow
-    ray-cast refine.
+    Plan: one polygon scan (prep -> cover explode, ring arrays carried
+    on the pair rows), ONE point scan (ancestor cell per ACTIVE res —
+    the distinct-res list is the only driver action, bounded by
+    grid.MAX_RES values), one shuffle equi-join on (res, cell), Arrow
+    ray-cast refine with interior-cell rows short-circuited.
     """
     prepped = _prep_polygons_rel(polygons)
+    # ring arrays ride on the exploded pair relation: its shuffle volume
+    # is polygons x cover cells (never points), and carrying them here
+    # means ONE point-side join and ONE candidate scan — a separate
+    # rings join would consume the candidate relation twice (the point
+    # scan + explode + join would re-execute; no exchange reuse
+    # materialized in the static plan)
     pairs = prepped.select(
-        "poly_id", "__res",
+        "poly_id", "__res", "vlat", "vlon_u", "ref",
         F.explode(F.arrays_zip(
             F.col("cover").alias("c"), F.col("cover_full").alias("f"),
         )).alias("__cf"),
-    ).select("poly_id", "__res",
+    ).select("poly_id", "__res", "vlat", "vlon_u", "ref",
              F.col("__cf.c").alias("__cell"), F.col("__cf.f").alias("__full"))
     # the only driver round-trip: WHICH resolutions are active (<= 26
     # ints, metadata not data)
@@ -347,17 +356,10 @@ def _pip_join_relational(pts: DataFrame, polygons: DataFrame,
     )
     cand = ptsx.join(pairs, on=["__res", "__cell"], how="inner") \
         .drop("__res", "__cell")
-    # interior-cell candidates are hits without touching the ring arrays
-    # or Python; only boundary-cell candidates join the rings + refine
-    full_hit = cand.filter(F.col("__full")).drop("__full")
-    rings = prepped.select("poly_id", "vlat", "vlon_u", "ref")
-    withring = cand.filter(~F.col("__full")).drop("__full") \
-        .join(rings, on="poly_id", how="inner")
-    bnd_hit = withring.filter(_pip_refine_rel_udf(
+    hit = cand.filter(_pip_refine_rel_udf(
         F.col(lat_col), F.col(lon_col), F.col("poly_id"),
-        F.col("vlat"), F.col("vlon_u"), F.col("ref"))) \
-        .drop("vlat", "vlon_u", "ref")
-    return full_hit.unionByName(bnd_hit)
+        F.col("vlat"), F.col("vlon_u"), F.col("ref"), F.col("__full")))
+    return hit.drop("vlat", "vlon_u", "ref", "__full")
 
 
 def _load_polygons(polygons: DataFrame) -> list[dict]:
