@@ -266,6 +266,8 @@ def _prep_polygons_rel(polygons: DataFrame) -> DataFrame:
         for pdf in pdfs:
             out = {k.name: [] for k in _PREP_SCHEMA.fields}
             for pid, ring in zip(pdf["poly_id"], pdf["ring"]):
+                if ring is None or len(ring) < 3:
+                    continue  # no interior — same rule as _load_polygons
                 vlat = np.asarray([v["lat"] for v in ring], float)
                 vlon = np.asarray([v["lon"] for v in ring], float)
                 vlat, u, ref = _prep_polygon(vlat, vlon)
@@ -279,7 +281,10 @@ def _prep_polygons_rel(polygons: DataFrame) -> DataFrame:
                 out["ref"].append(ref)
                 out["cover"].append(cells.tolist())
                 out["cover_full"].append(full.tolist())
-            yield pd.DataFrame(out)
+            if out["poly_id"]:
+                # an all-skipped batch would hand Arrow empty OBJECT
+                # columns it cannot cast to list<double>
+                yield pd.DataFrame(out)
 
     return polygons.select("poly_id", "ring").mapInPandas(_prep, _PREP_SCHEMA)
 
@@ -309,6 +314,16 @@ def _pip_refine_rel_udf(lat: pd.Series, lon: pd.Series, poly_id: pd.Series,
         plon = _map_lon_into_ring(_unwrap(lo[sel], rf), vlo.min())
         inside[sel] = _raycast(vla, vlo, plat, plon)
     return pd.Series(inside)
+
+
+def _no_hits(pts: DataFrame) -> DataFrame:
+    """Empty hit relation with the operator's output schema (point
+    columns + poly_id) — the degenerate result when no usable polygons
+    exist (empty table, or every ring null/<3 vertices). Without this
+    guard an empty cover set builds a zero-element F.array() whose VOID
+    element type fails analysis at the explode."""
+    return pts.where(F.lit(False)).withColumn(
+        "poly_id", F.lit(None).cast("long"))
 
 
 def _pip_join_relational(pts: DataFrame, polygons: DataFrame,
@@ -343,6 +358,8 @@ def _pip_join_relational(pts: DataFrame, polygons: DataFrame,
     # ints, metadata not data)
     res_list = sorted(
         r["__res"] for r in prepped.select("__res").distinct().collect())
+    if not res_list:
+        return _no_hits(pts)
     cells = F.array(*[
         F.struct(F.lit(r).cast("int").alias("r"),
                  cell_id_col(lat_col, lon_col, r).alias("c"))
@@ -364,6 +381,8 @@ def _pip_join_relational(pts: DataFrame, polygons: DataFrame,
 
 def _load_polygons(polygons: DataFrame) -> list[dict]:
     rows = polygons.select("poly_id", "ring").collect()
+    # null rings and <3-vertex rings have no interior: skip them (the
+    # relational prep applies the same rule)
     return [
         {
             "poly_id": r["poly_id"],
@@ -371,6 +390,7 @@ def _load_polygons(polygons: DataFrame) -> list[dict]:
             "lon": np.array([v["lon"] for v in r["ring"]]),
         }
         for r in rows
+        if r["ring"] is not None and len(r["ring"]) >= 3
     ]
 
 
@@ -425,29 +445,34 @@ def point_in_polygon_join(points: DataFrame, polygons: DataFrame,
         spark = points.sparkSession
         polys = _load_polygons(polygons)
         pairs, prepped = polygon_cover_pairs(polys)
-        pairs_df = spark.createDataFrame(
-            pairs, schema="__res int, __cell long, poly_id long, __full boolean")
-        res_list = sorted({r for r, _, _, _ in pairs})
-        cells_arr = F.array(*[
-            F.struct(F.lit(r).cast("int").alias("r"),
-                     cell_id_col(lat_col, lon_col, r).alias("c"))
-            for r in res_list
-        ])
-        ptsx = (
-            pts.withColumn("__rc", F.explode(cells_arr))
-            .withColumn("__res", F.col("__rc.r"))
-            .withColumn("__cell", F.col("__rc.c"))
-            .drop("__rc")
-        )
-        cand = ptsx.join(F.broadcast(pairs_df), on=["__res", "__cell"],
-                         how="inner")
-        # one candidate scan; the UDF short-circuits interior-cell rows
-        # so the Python ray-cast follows polygon PERIMETER cells only
-        refine = _pip_refine_udf(prepped)
-        hit = cand.filter(
-            refine(F.col(lat_col), F.col(lon_col), F.col("poly_id"),
-                   F.col("__full"))
-        ).drop("__res", "__cell", "__full")
+        if not pairs:
+            hit = _no_hits(pts)
+        else:
+            pairs_df = spark.createDataFrame(
+                pairs,
+                schema="__res int, __cell long, poly_id long, __full boolean")
+            res_list = sorted({r for r, _, _, _ in pairs})
+            cells_arr = F.array(*[
+                F.struct(F.lit(r).cast("int").alias("r"),
+                         cell_id_col(lat_col, lon_col, r).alias("c"))
+                for r in res_list
+            ])
+            ptsx = (
+                pts.withColumn("__rc", F.explode(cells_arr))
+                .withColumn("__res", F.col("__rc.r"))
+                .withColumn("__cell", F.col("__rc.c"))
+                .drop("__rc")
+            )
+            cand = ptsx.join(F.broadcast(pairs_df), on=["__res", "__cell"],
+                             how="inner")
+            # one candidate scan; the UDF short-circuits interior-cell
+            # rows so the Python ray-cast follows polygon PERIMETER
+            # cells only
+            refine = _pip_refine_udf(prepped)
+            hit = cand.filter(
+                refine(F.col(lat_col), F.col(lon_col), F.col("poly_id"),
+                       F.col("__full"))
+            ).drop("__res", "__cell", "__full")
     if how == "inner":
         return hit
     return pts.join(hit.select("__pt", "poly_id"), on="__pt", how="left").drop("__pt")

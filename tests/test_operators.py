@@ -668,6 +668,33 @@ class TestPolygons:
         assert n_full > 0  # classifier actually proves interiors
         assert n_dropped > 0  # and actually prunes outside cells
 
+    def test_degenerate_polygon_inputs(self, spark):
+        # empty tables, null rings, and <3-vertex rings must not crash
+        # either strategy: no interior -> no hits, left join keeps every
+        # point with null poly_id, and null/degenerate rings are skipped
+        # while valid rings in the same table still match
+        pts = spark.createDataFrame([(1, 5.0, 5.0), (2, 0.0, 0.0)],
+                                    "pid long, lat double, lon double")
+        sch = "poly_id long, ring array<struct<lat:double,lon:double>>"
+        square = [{"lat": 0.0, "lon": 0.0}, {"lat": 0.0, "lon": 10.0},
+                  {"lat": 10.0, "lon": 10.0}, {"lat": 10.0, "lon": 0.0}]
+        cases = {
+            "empty": ([], set()),
+            "two_vertex": ([(1, square[:2])], set()),
+            "one_vertex": ([(1, square[:1])], set()),
+            "null_plus_valid": ([(1, None), (2, square)], {(1, 2), (2, 2)}),
+            "dup_vertices": ([(1, [square[0]] + square)], {(1, 1), (2, 1)}),
+        }
+        for name, (rows, want) in cases.items():
+            polys = (spark.createDataFrame(rows, sch) if rows
+                     else spark.createDataFrame([], sch))
+            for strat in ("broadcast", "relational"):
+                got = point_in_polygon_join(pts, polys, strategy=strat) \
+                    .select("pid", "poly_id").collect()
+                assert {(r.pid, r.poly_id) for r in got} == want, (name, strat)
+            left = point_in_polygon_join(pts, polys, how="left").count()
+            assert left == 2, name
+
     def test_relational_strategy_matches_broadcast(self, places, polygons, monkeypatch):
         # the no-driver-collect path must reproduce the broadcast path
         # exactly across the fixture's ordinary/antimeridian/polar rings —
