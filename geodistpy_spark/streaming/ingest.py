@@ -61,6 +61,27 @@ def stream_dedup_exact(docs: DataFrame, ts_col: str = "ingest_ts",
     )
 
 
+def stream_geofence(points: DataFrame, polygons: DataFrame,
+                    lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
+    """Streaming geofence: every point of a streaming source tagged with
+    the static zone(s) containing it — the canonical streaming-geo
+    alerting shape (vehicle enters restricted area, event inside a
+    service region).
+
+    The broadcast point-in-polygon path is fully STATELESS — per-row
+    cover-cell explode, broadcast equi-join against the classified
+    (res, cell) -> poly_id pairs, Arrow ray-cast refine on boundary-cell
+    rows — so it runs unchanged under ``readStream`` in append mode with
+    no watermark or state store. Zones are read once at plan time (they
+    are the broadcast side); restart the query to pick up zone edits.
+    """
+    from ..operators.polygons import point_in_polygon_join
+
+    return point_in_polygon_join(points, polygons, lat_col=lat_col,
+                                 lon_col=lon_col, how="inner",
+                                 strategy="broadcast")
+
+
 def stream_windowed_event_counts(spark: SparkSession, input_dir: str,
                                  schema: str,
                                  window: str = "5 minutes",

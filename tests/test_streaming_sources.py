@@ -131,6 +131,38 @@ class TestStreaming:
         assert sorted(got.place_id) == sorted(exp.place_id)
         assert len(got) > 0
 
+    def test_stream_geofence_matches_batch(self, spark, fixture_paths, tmp_path):
+        # geofencing = stateless broadcast PIP under readStream: the
+        # streaming result over the same files must equal the batch join
+        import os
+        import shutil
+
+        src = str(tmp_path / "gf_in")
+        os.makedirs(src, exist_ok=True)
+        shutil.copy(fixture_paths["places"], os.path.join(src, "p0.parquet"))
+        from geodistpy_spark.operators import point_in_polygon_join
+        from geodistpy_spark.streaming import stream_geofence
+
+        polys = spark.read.parquet(fixture_paths["polygons"])
+        batch_df = spark.read.parquet(os.path.join(src, "p0.parquet"))
+        schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                           for f in batch_df.schema.fields)
+        stream = spark.readStream.schema(schema).parquet(src)
+        hits = stream_geofence(stream, polys)
+        assert hits.isStreaming
+        q = (hits.writeStream.format("memory").queryName("gf_stream")
+             .outputMode("append").start())
+        try:
+            q.processAllAvailable()
+            got = spark.sql("SELECT place_id, poly_id FROM gf_stream").toPandas()
+        finally:
+            q.stop()
+        exp = point_in_polygon_join(batch_df, polys) \
+            .select("place_id", "poly_id").toPandas()
+        assert set(zip(got.place_id, got.poly_id)) \
+            == set(zip(exp.place_id, exp.poly_id))
+        assert len(got) > 0
+
     def test_stream_sessionize_stateful(self, spark, tmp_path):
         # custom stateful operator (applyInPandasWithState): in-batch
         # session splits must close immediately; the trailing open
