@@ -914,6 +914,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = ivf_topk(emb, q, 5)
         return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cos_r"))
 
+    def q_pq_topk(spark, sf_dir):
+        # product-quantized ANN with exact shortlist re-rank (rows-only:
+        # the codebooks come from k-means, not SQL-expressible; recall
+        # gated in pytest vs brute-force cosine)
+        from geodistpy_spark.textops import pq_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        dim = len(emb.first()["embedding"])
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
+        out = pq_topk(emb, q, 5, m=8 if dim % 8 == 0 else 4, shortlist=64)
+        return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cos_r"))
+
     return {
         "haversine_pairs": q_haversine_pairs,
         "greatcircle_pairs": q_greatcircle_pairs,
@@ -960,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "media_features": q_media_features,
         "ivf_topk": q_ivf_topk,
+        "pq_topk": q_pq_topk,
         "point_in_radius_gc": q_point_in_radius_gc,
         "radius_join_salted": q_radius_join_salted,
         "simhash_near_pairs": q_simhash_near_pairs,

@@ -7,12 +7,19 @@
   vectors assigned to nearest centroid (one broadcast join), queries
   probe the top-P nearest cells only. Recall < 1 by design; exactness
   is the baseline's job.
+- :func:`pq_topk` (+ :func:`train_pq`/:func:`pq_encode`) — product
+  quantization: vectors compressed to ``m`` one-byte codes (e.g. 64
+  floats -> 8 bytes, 32x), scored in the compressed domain via
+  asymmetric-distance lookup tables, then an exact re-rank of the ADC
+  shortlist. The memory/IO scale path: at 10^12 vectors the code table
+  is what a scan actually reads.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a, b):
@@ -111,6 +118,164 @@ def build_ivf_index(emb: DataFrame, n_cells: int | None = 16,
         .select(id_col, "v", "cell")
     )
     return cents, assigned
+
+
+def train_pq(emb: DataFrame, m: int = 8, bits: int = 8,
+             sample_size: int = 4096, id_col: str = "vec_id",
+             vec_col: str = "embedding"):
+    """Deterministic product-quantization codebooks: the (unit-normalized)
+    vector space is split into ``m`` contiguous subspaces and each gets
+    its own ``2**bits``-entry k-means codebook, trained Lloyd-style on
+    the same deterministic smallest-ids sample as
+    :func:`train_centroids`. Returns ndarray (m, 2**bits, d/m).
+
+    Dimension d must be divisible by m.
+    """
+    import numpy as np
+
+    pdf = (
+        emb.orderBy(F.col(id_col).asc()).limit(sample_size)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .toPandas()
+    )
+    X = np.stack(pdf["v"].values)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    n, d = X.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    ksub = 1 << bits
+    books = np.zeros((m, ksub, dsub))
+    for j in range(m):
+        S = X[:, j * dsub:(j + 1) * dsub]
+        C = S[:ksub].copy() if n >= ksub else np.resize(S, (ksub, dsub)).copy()
+        for _ in range(8):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ksub):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books[j] = C
+    return books
+
+
+def pq_encode(emb: DataFrame, codebooks, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(id, codes array<smallint>) — every vector unit-normalized and
+    quantized to its nearest codeword per subspace (mapInPandas, fully
+    distributed; the codebooks ride the task closure, m * 2^bits * d/m
+    floats). The codes relation is the PERSISTABLE compressed index:
+    m bytes of payload per vector instead of 4-8 bytes per dimension.
+    """
+    import numpy as np
+
+    books = np.asarray(codebooks)
+    m, ksub, dsub = books.shape
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("codes", T.ArrayType(T.ShortType())),
+    ])
+
+    def _enc(pdfs):
+        import pandas as pd
+
+        for pdf in pdfs:
+            X = np.stack(pdf["__v"].values)
+            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(X), m), dtype=np.int16)
+            for j in range(m):
+                S = X[:, j * dsub:(j + 1) * dsub]
+                d2 = ((S[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col].values,
+                                "codes": list(codes)})
+
+    src = emb.select(F.col(id_col),
+                     F.col(vec_col).cast("array<double>").alias("__v"))
+    return src.mapInPandas(_enc, schema)
+
+
+def pq_topk(emb: DataFrame, queries: DataFrame, k: int,
+            m: int = 8, bits: int = 8, shortlist: int = 64,
+            rerank: bool = True,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            q_id: str = "query_id", q_vec: str = "q_vec") -> DataFrame:
+    """Product-quantized approximate top-k: score every vector in the
+    COMPRESSED domain (per-query lookup table of subspace partial dot
+    products, gathered per code — no float vectors touched), keep a
+    per-query ``shortlist``, then (``rerank=True``) re-rank the
+    shortlist with exact cosine against the original vectors.
+
+    Output schema matches :func:`cosine_topk`. Queries are collected
+    driver-side to build LUTs (the broadcast-small side by contract).
+    Approximate by design — gate with a recall test, not equality.
+    """
+    import numpy as np
+
+    books = train_pq(emb, m, bits, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(emb, books, id_col, vec_col)
+
+    qrows = queries.select(
+        F.col(q_id), F.col(q_vec).cast("array<double>").alias("qv")).collect()
+    qids = [r[q_id] for r in qrows]
+    Q = np.stack([np.asarray(r["qv"], float) for r in qrows])
+    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    mm, ksub, dsub = books.shape
+    # LUT[q, j, c] = <q_subvector_j, codeword_jc>
+    lut = np.einsum("qjd,jcd->qjc", Q.reshape(len(Q), mm, dsub), books)
+
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("__qidx", T.IntegerType()),
+        T.StructField("adc", T.DoubleType()),
+    ])
+
+    def _score(pdfs):
+        import pandas as pd
+
+        for pdf in pdfs:
+            C = np.stack(pdf["codes"].values).astype(np.int64)  # (B, m)
+            rows = np.arange(mm)[None, :]
+            ids = pdf[id_col].values
+            frames = []
+            for qi in range(len(qids)):
+                s = lut[qi][rows, C].sum(axis=1)  # (B,)
+                frames.append(pd.DataFrame(
+                    {id_col: ids, "__qidx": qi, "adc": s}))
+            yield pd.concat(frames, ignore_index=True)
+
+    scored = codes.mapInPandas(_score, out_schema)
+    wq = Window.partitionBy("__qidx").orderBy(F.col("adc").desc(),
+                                              F.col(id_col).asc())
+    short = scored.withColumn("__rn", F.row_number().over(wq)) \
+        .filter(F.col("__rn") <= (shortlist if rerank else k))
+    spark = emb.sparkSession
+    q_id_type = queries.schema[q_id].dataType.simpleString()
+    qmap = spark.createDataFrame(
+        [(i, qid) for i, qid in enumerate(qids)],
+        f"__qidx int, {q_id} {q_id_type}")
+    short = short.join(F.broadcast(qmap), on="__qidx")
+    if not rerank:
+        w = Window.partitionBy(q_id).orderBy(F.col("adc").desc(),
+                                             F.col(id_col).asc())
+        return (short.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select(q_id, id_col, F.col("adc").alias("cosine"), "rank"))
+    v = emb.select(F.col(id_col),
+                   F.col(vec_col).cast("array<double>").alias("v"))
+    q = queries.select(F.col(q_id),
+                       F.col(q_vec).cast("array<double>").alias("qv"))
+    cand = short.select(q_id, id_col).join(v, on=id_col).join(
+        F.broadcast(q), on=q_id)
+    sim = cand.withColumn("cosine", _dot("v", "qv") / (_norm("v") * _norm("qv")))
+    w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(),
+                                         F.col(id_col).asc())
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, id_col, "cosine", "rank")
+    )
 
 
 def ivf_topk(emb: DataFrame, queries: DataFrame, k: int,

@@ -291,6 +291,38 @@ class TestAnn:
                      & set(map(tuple, exact[["query_id", "vec_id"]].values))) / len(exact)
         assert recall >= 0.5
 
+    def test_pq_roundtrip_and_recall(self, spark):
+        from geodistpy_spark.textops import (
+            cosine_topk, pq_encode, pq_topk, train_pq)
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        dim = len(emb.first()["embedding"])
+        m = 8 if dim % 8 == 0 else 4
+        # codes: one int16 per subspace, all within [0, 255]
+        books = train_pq(emb, m=m)
+        codes = pq_encode(emb, books).toPandas()
+        assert codes.codes.map(len).eq(m).all()
+        assert codes.codes.map(max).max() < 256
+        assert codes.codes.map(min).min() >= 0
+        n = emb.count()
+        assert len(codes) == n and codes.vec_id.nunique() == n
+        q = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
+        exact = cosine_topk(emb, q, 5).toPandas()
+        # ADC + exact re-rank of the shortlist: high recall
+        rr = pq_topk(emb, q, 5, m=m, shortlist=64).toPandas()
+        hit = set(map(tuple, rr[["query_id", "vec_id"]].values))
+        want = set(map(tuple, exact[["query_id", "vec_id"]].values))
+        assert len(hit & want) / len(want) >= 0.8
+        for qi in range(10):  # self-hit survives compression + re-rank
+            assert qi in set(rr[rr.query_id == qi].vec_id)
+        # compressed-domain-only scoring still lands most neighbors
+        adc = pq_topk(emb, q, 5, m=m, rerank=False).toPandas()
+        a = set(map(tuple, adc[["query_id", "vec_id"]].values))
+        assert len(a & want) / len(want) >= 0.4
+        with pytest.raises(ValueError, match="divisible"):
+            train_pq(emb, m=dim + 1)
+
 
 class TestAnalysis:
     def test_token_count(self, spark):
