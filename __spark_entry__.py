@@ -914,6 +914,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = ivf_topk(emb, q, 5)
         return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cos_r"))
 
+    def q_buffer_rings(spark, sf_dir):
+        # geofence construction: 50 km spherical buffer around every
+        # 10th candidate point, vertices exploded in ring order
+        from geodistpy_spark.operators import geodesic_buffer
+
+        pts = _cand_points(spark, sf_dir).filter(F.col("cand_id") % 10 == 0)
+        buf = geodesic_buffer(pts, 50_000.0, n_vertices=8)
+        return buf.select(
+            "cand_id", F.posexplode("ring").alias("vertex_idx", "v")
+        ).select(
+            "cand_id", "vertex_idx",
+            F.round(F.col("v.lat"), 6).alias("vlat6"),
+            F.round(F.col("v.lon"), 6).alias("vlon6"),
+        )
+
     def q_pq_topk(spark, sf_dir):
         # product-quantized ANN with exact shortlist re-rank (rows-only:
         # the codebooks come from k-means, not SQL-expressible; recall
@@ -974,6 +989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "ivf_topk": q_ivf_topk,
         "pq_topk": q_pq_topk,
+        "buffer_rings": q_buffer_rings,
         "point_in_radius_gc": q_point_in_radius_gc,
         "radius_join_salted": q_radius_join_salted,
         "simhash_near_pairs": q_simhash_near_pairs,
@@ -1207,6 +1223,25 @@ def oracle_sql() -> dict[str, str]:
             f"{_minhash_cte()} SELECT * FROM sig"
         ),
         "lsh_pairs": _lsh_pairs_sql(),
+        # spherical direct problem with the identical double ops (trig
+        # ulp noise absorbed by the 6dp rounding)
+        "buffer_rings": (
+            f"WITH pts AS ({_CAND_SQL}), "
+            "p AS (SELECT cand_id, lat, lon FROM pts WHERE cand_id % 10 = 0), "
+            "v AS (SELECT cand_id, lat, lon, "
+            "unnest(generate_series(0, 7)) AS vertex_idx FROM p), "
+            "c AS (SELECT cand_id, vertex_idx, radians(lat) AS p1, "
+            "radians(lon) AS l1, radians(vertex_idx * 4.5e1) AS th, "
+            "5e4 / 6.371009e6 AS d FROM v), "
+            "s AS (SELECT cand_id, vertex_idx, p1, l1, th, d, "
+            "sin(p1) * cos(d) + cos(p1) * sin(d) * cos(th) AS sp2 FROM c) "
+            "SELECT cand_id, vertex_idx, "
+            "round(degrees(asin(least(greatest(sp2, -1.0), 1.0))), 6) AS vlat6, "
+            "round(" + _posmod(
+                "degrees(l1 + atan2(sin(th) * sin(d) * cos(p1), "
+                "cos(d) - sin(p1) * sp2)) + 1.8e2")
+            + " - 1.8e2, 6) AS vlon6 FROM s"
+        ),
         # capped variant: buckets above max_band_size=2 dropped BEFORE
         # the self-join (mirrors dedup.lsh_candidate_pairs's hot-band
         # guard exactly)

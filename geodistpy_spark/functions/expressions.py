@@ -70,6 +70,26 @@ def bearing_sphere_deg(lat1, lon1, lat2, lon2) -> Column:
     return F.pmod(F.degrees(F.atan2(y, x)), F.lit(360.0))
 
 
+def destination_sphere(lat, lon, bearing_deg, dist_m,
+                       radius: float = EARTH_RADIUS_M) -> Column:
+    """Spherical direct problem as a struct<lat,lon> column — pure
+    codegen (the ellipsoidal twin is the Vincenty-direct Arrow UDF in
+    ``operators.distances.destination``). Longitude normalized to
+    [-180, 180)."""
+    p1 = F.radians(_c(lat))
+    l1 = F.radians(_c(lon))
+    th = F.radians(_c(bearing_deg))
+    d = _c(dist_m) / F.lit(radius)
+    sp2 = F.sin(p1) * F.cos(d) + F.cos(p1) * F.sin(d) * F.cos(th)
+    p2 = F.asin(F.least(F.greatest(sp2, F.lit(-1.0)), F.lit(1.0)))
+    l2 = l1 + F.atan2(F.sin(th) * F.sin(d) * F.cos(p1),
+                      F.cos(d) - F.sin(p1) * sp2)
+    return F.struct(
+        F.degrees(p2).alias("lat"),
+        (F.pmod(F.degrees(l2) + 180.0, F.lit(360.0)) - 180.0).alias("lon"),
+    )
+
+
 def cell_x(lon, res: int) -> Column:
     n = 1 << res
     x = F.floor(F.pmod(_c(lon) + 180.0, F.lit(360.0)) / 360.0 * n)

@@ -16,7 +16,12 @@ from .distances import (
 from .knn import candidate_histogram, geodesic_knn, knn_join
 from .temporal import asof_join
 from .indexing import adaptive_cell_index, cell_density_smooth
-from .polygons import point_in_polygon_join, polygon_area, zonal_stats
+from .polygons import (
+    geodesic_buffer,
+    point_in_polygon_join,
+    polygon_area,
+    zonal_stats,
+)
 from .radius import point_in_radius, radius_join
 
 __all__ = [
@@ -25,6 +30,6 @@ __all__ = [
     "geodist_to_many", "greatcircle", "greatcircle_matrix", "haversine_dist", "interpolate",
     "midpoint", "candidate_histogram", "geodesic_knn", "knn_join", "asof_join",
     "adaptive_cell_index", "cell_density_smooth",
-    "point_in_polygon_join", "polygon_area",
+    "geodesic_buffer", "point_in_polygon_join", "polygon_area",
     "zonal_stats", "point_in_radius", "radius_join",
 ]

@@ -478,6 +478,43 @@ def point_in_polygon_join(points: DataFrame, polygons: DataFrame,
     return pts.join(hit.select("__pt", "poly_id"), on="__pt", how="left").drop("__pt")
 
 
+def geodesic_buffer(points: DataFrame, radius, metric: str = "meter",
+                    n_vertices: int = 32,
+                    lat_col: str = "lat", lon_col: str = "lon",
+                    out: str = "ring") -> DataFrame:
+    """Per-row circular buffer polygon: ``out`` = array<struct<lat,lon>>
+    of ``n_vertices`` spherical-destination points at equal bearings
+    around the row's coordinate — the geofence-CONSTRUCTION primitive
+    (point + radius -> zone ring consumable by
+    :func:`point_in_polygon_join`, :func:`polygon_area`, or
+    ``streaming.stream_geofence``).
+
+    Pure whole-stage-codegen column math (``transform`` over a literal
+    bearing sequence + the spherical direct formula) — no UDFs, no
+    shuffle, no driver state; rings wrap the antimeridian and encircle
+    poles naturally (the ray-cast join's unwrap/cap-closure handles
+    both). Sphere-exact; for sub-0.6% radial exactness feed the ring
+    through the Vincenty-direct UDF instead (operators.distances
+    .destination).
+    """
+    from ..constants import unit_factor
+    from ..functions.expressions import destination_sphere
+
+    radius_m = float(radius) / unit_factor(metric)
+    if radius_m < 0:
+        raise ValueError(f"radius must be >= 0, got {radius}")
+    if n_vertices < 3:
+        raise ValueError(f"n_vertices must be >= 3, got {n_vertices}")
+    step = 360.0 / n_vertices
+    ring = F.transform(
+        F.sequence(F.lit(0), F.lit(n_vertices - 1)),
+        lambda i: destination_sphere(
+            F.col(lat_col), F.col(lon_col),
+            i.cast("double") * F.lit(step), F.lit(radius_m)),
+    )
+    return points.withColumn(out, ring)
+
+
 SPHERE_R_M = 6_371_009.0
 
 

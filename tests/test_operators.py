@@ -668,6 +668,60 @@ class TestPolygons:
         assert n_full > 0  # classifier actually proves interiors
         assert n_dropped > 0  # and actually prunes outside cells
 
+    def test_geodesic_buffer_ring_and_composition(self, spark):
+        # every buffer vertex sits at the requested great-circle radius,
+        # and the ring composes with the ray-cast join: polygon hits are
+        # within r, and points well inside the inscribed n-gon are hits
+        from geodistpy_spark.operators import (
+            geodesic_buffer, point_in_polygon_join)
+
+        r = 100_000.0
+        ctr = spark.createDataFrame([(1, 40.0, -74.0), (2, 10.0, 179.99)],
+                                    "poly_id long, lat double, lon double")
+        buf = geodesic_buffer(ctr, r, n_vertices=32)
+        verts = buf.select(
+            "poly_id", F.explode("ring").alias("v"),
+            F.col("lat").alias("clat"), F.col("lon").alias("clon")).toPandas()
+        d = K.great_circle(verts.clat.values, verts.clon.values,
+                           verts.v.map(lambda s: s['lat']).values,
+                           verts.v.map(lambda s: s['lon']).values)
+        # sphere-destination radius vs AL great-circle: within the
+        # flattening envelope (~0.6%)
+        assert (np.abs(d - r) < 0.01 * r).all()
+        # composition at the NY center: inside-ring points are within r,
+        # comfortably-inside points are found, incl. across the
+        # antimeridian for center 2
+        rng = np.random.default_rng(3)
+        pts = [(int(i), 40.0 + float(u), -74.0 + float(v))
+               for i, (u, v) in enumerate(zip(rng.uniform(-1.5, 1.5, 400),
+                                              rng.uniform(-2, 2, 400)))]
+        pts += [(1000, 10.0, -179.5)]  # other side of the antimeridian
+        pts_df = spark.createDataFrame(pts, "pid long, lat double, lon double")
+        hits = point_in_polygon_join(
+            pts_df, buf.select("poly_id", "ring")).toPandas()
+        pd_pts = {p[0]: (p[1], p[2]) for p in pts}
+        for _, h in hits.iterrows():
+            cla, clo = (40.0, -74.0) if h.poly_id == 1 else (10.0, 179.99)
+            dd = K.great_circle(np.array([cla]), np.array([clo]),
+                                np.array([pd_pts[h.pid][0]]),
+                                np.array([pd_pts[h.pid][1]]))[0]
+            assert dd <= 1.02 * r, (h.pid, h.poly_id, dd)
+        assert 1000 in set(hits.pid)  # antimeridian-crossing ring works
+        hit_ids = set(hits[hits.poly_id == 1].pid)
+        import math
+        inner = r * math.cos(math.pi / 32) * 0.97
+        for pid, (la, lo) in pd_pts.items():
+            if pid == 1000:
+                continue
+            dd = K.great_circle(np.array([40.0]), np.array([-74.0]),
+                                np.array([la]), np.array([lo]))[0]
+            if dd <= inner:
+                assert pid in hit_ids, (pid, dd)
+        with pytest.raises(ValueError, match="n_vertices"):
+            geodesic_buffer(ctr, r, n_vertices=2)
+        with pytest.raises(ValueError, match="radius"):
+            geodesic_buffer(ctr, -1.0)
+
     def test_degenerate_polygon_inputs(self, spark):
         # empty tables, null rings, and <3-vertex rings must not crash
         # either strategy: no interior -> no hits, left join keeps every
