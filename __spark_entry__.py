@@ -914,6 +914,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = ivf_topk(emb, q, 5)
         return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cos_r"))
 
+    def q_geo_centroid(spark, sf_dir):
+        # spherical centroid + dispersion per coarse cell (3D unit-vector
+        # mean — antimeridian/pole safe, unlike naive lat/lon averaging)
+        from geodistpy_spark.functions.expressions import cell_id_col
+        from geodistpy_spark.operators import geo_centroid
+
+        pts = _cand_points(spark, sf_dir).withColumn(
+            "cell", cell_id_col("lat", "lon", 3))
+        out = geo_centroid(pts, "cell")
+        return out.select(
+            F.col("cell").cast("long").alias("cell"),
+            F.col("n_points").cast("long").alias("n_points"),
+            F.round("c_lat", 6).alias("c_lat6"),
+            F.round("c_lon", 6).alias("c_lon6"),
+            F.round("resultant", 6).alias("resultant6"),
+        )
+
     def q_buffer_rings(spark, sf_dir):
         # geofence construction: 50 km spherical buffer around every
         # 10th candidate point, vertices exploded in ring order
@@ -990,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "pq_topk": q_pq_topk,
         "buffer_rings": q_buffer_rings,
+        "geo_centroid": q_geo_centroid,
         "point_in_radius_gc": q_point_in_radius_gc,
         "radius_join_salted": q_radius_join_salted,
         "simhash_near_pairs": q_simhash_near_pairs,
@@ -1223,6 +1241,20 @@ def oracle_sql() -> dict[str, str]:
             f"{_minhash_cte()} SELECT * FROM sig"
         ),
         "lsh_pairs": _lsh_pairs_sql(),
+        # 3D unit-vector mean per coarse cell; 6dp rounding absorbs
+        # summation-order and trig ulp noise
+        "geo_centroid": (
+            f"WITH pts AS ({_CAND_SQL}), "
+            f"c AS (SELECT {_cell_sql('lat', 'lon', 3)} AS cell, "
+            "radians(lat) AS la, radians(lon) AS lo FROM pts), "
+            "a AS (SELECT cell, avg(cos(la) * cos(lo)) AS x, "
+            "avg(cos(la) * sin(lo)) AS y, avg(sin(la)) AS z, "
+            "count(*) AS n_points FROM c GROUP BY cell) "
+            "SELECT cell, n_points, "
+            "round(degrees(atan2(z, sqrt(x * x + y * y))), 6) AS c_lat6, "
+            "round(degrees(atan2(y, x)), 6) AS c_lon6, "
+            "round(sqrt(x * x + y * y + z * z), 6) AS resultant6 FROM a"
+        ),
         # spherical direct problem with the identical double ops (trig
         # ulp noise absorbed by the 6dp rounding)
         "buffer_rings": (

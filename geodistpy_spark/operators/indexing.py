@@ -137,3 +137,36 @@ def adaptive_cell_index(df: DataFrame, lat_col: str = "lat", lon_col: str = "lon
         cell_expr = cell_expr.when(
             F.col(out_res) == r, parent_cell_col(F.col("__cmax"), max_res, r))
     return assigned.withColumn(out_cell, cell_expr).drop("__cmax")
+
+
+def geo_centroid(df: DataFrame, group_col: str,
+                 lat_col: str = "lat", lon_col: str = "lon",
+                 out_lat: str = "c_lat", out_lon: str = "c_lon") -> DataFrame:
+    """Geographic mean per group via the 3D unit-vector mean — the
+    correct spherical centroid (a naive lat/lon average breaks at the
+    antimeridian and biases toward the poles): each point maps to its
+    unit vector, groups average componentwise, and the resultant maps
+    back through atan2. Also emits ``resultant`` (mean vector length in
+    [0, 1]) — the standard dispersion statistic (1 = all points
+    coincident; near 0 = centroid direction is meaningless, e.g. two
+    antipodal points).
+
+    Pure whole-stage codegen + ONE map-side-combined groupBy — the
+    cheapest possible distributed shape; mirrors 1:1 into SQL.
+    """
+    la = F.radians(F.col(lat_col))
+    lo = F.radians(F.col(lon_col))
+    agg = df.groupBy(group_col).agg(
+        F.avg(F.cos(la) * F.cos(lo)).alias("__x"),
+        F.avg(F.cos(la) * F.sin(lo)).alias("__y"),
+        F.avg(F.sin(la)).alias("__z"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+    hyp = F.sqrt(F.col("__x") * F.col("__x") + F.col("__y") * F.col("__y"))
+    return agg.select(
+        group_col, "n_points",
+        F.degrees(F.atan2(F.col("__z"), hyp)).alias(out_lat),
+        F.degrees(F.atan2(F.col("__y"), F.col("__x"))).alias(out_lon),
+        F.sqrt(F.col("__x") * F.col("__x") + F.col("__y") * F.col("__y")
+               + F.col("__z") * F.col("__z")).alias("resultant"),
+    )

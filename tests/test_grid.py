@@ -187,3 +187,30 @@ class TestCoverConservative:
     def test_pick_resolution_monotone(self):
         rs = [G.pick_resolution(r) for r in (100, 1e4, 1e6, 1e7)]
         assert rs == sorted(rs, reverse=True)
+
+
+class TestGeoCentroid:
+    def test_centroid_invariants(self, spark):
+        # antimeridian-safe (naive lon average would give ~0 for a group
+        # straddling 180), coincident -> resultant 1, antipodal -> ~0
+        import numpy as np
+
+        from geodistpy_spark.operators import geo_centroid
+
+        df = spark.createDataFrame([
+            ("am", 0.0, 179.9), ("am", 0.0, -179.9),
+            ("one", -33.9, 151.2),
+            ("anti", 0.0, 10.0), ("anti", 0.0, -170.0),
+            ("spread", 10.0, 20.0), ("spread", 12.0, 22.0), ("spread", 11.0, 21.0),
+        ], "g string, lat double, lon double")
+        out = geo_centroid(df, "g").toPandas().set_index("g")
+        am = out.loc["am"]
+        assert abs(abs(am.c_lon) - 180.0) < 1e-9 and abs(am.c_lat) < 1e-9
+        one = out.loc["one"]
+        assert abs(one.c_lat - -33.9) < 1e-9 and abs(one.c_lon - 151.2) < 1e-9
+        assert abs(one.resultant - 1.0) < 1e-12
+        assert out.loc["anti"].resultant < 1e-9
+        sp = out.loc["spread"]
+        assert 10.0 < sp.c_lat < 12.0 and 20.0 < sp.c_lon < 22.0
+        assert 0.99 < sp.resultant <= 1.0
+        assert (out.n_points == [2, 2, 1, 3]).all() or set(out.n_points) == {1, 2, 3}
