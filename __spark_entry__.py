@@ -931,6 +931,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("resultant", 6).alias("resultant6"),
         )
 
+    def q_geo_bbox(spark, sf_dir):
+        # antimeridian-aware bbox per coarse cell (minimal circular
+        # longitude interval via largest-gap complement)
+        from geodistpy_spark.functions.expressions import cell_id_col
+        from geodistpy_spark.operators import geo_bbox
+
+        pts = _cand_points(spark, sf_dir).withColumn(
+            "cell", cell_id_col("lat", "lon", 3))
+        out = geo_bbox(pts, "cell")
+        return out.select(
+            F.col("cell").cast("long").alias("cell"),
+            F.col("n_points").cast("long").alias("n_points"),
+            F.round("lat_min", 6).alias("lat_min6"),
+            F.round("lat_max", 6).alias("lat_max6"),
+            F.round("lon_west", 6).alias("lon_west6"),
+            F.round("lon_east", 6).alias("lon_east6"),
+            F.round("lon_width", 6).alias("lon_width6"),
+        )
+
     def q_buffer_rings(spark, sf_dir):
         # geofence construction: 50 km spherical buffer around every
         # 10th candidate point, vertices exploded in ring order
@@ -1008,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "buffer_rings": q_buffer_rings,
         "geo_centroid": q_geo_centroid,
+        "geo_bbox": q_geo_bbox,
         "point_in_radius_gc": q_point_in_radius_gc,
         "radius_join_salted": q_radius_join_salted,
         "simhash_near_pairs": q_simhash_near_pairs,
@@ -1254,6 +1274,29 @@ def oracle_sql() -> dict[str, str]:
             "round(degrees(atan2(z, sqrt(x * x + y * y))), 6) AS c_lat6, "
             "round(degrees(atan2(y, x)), 6) AS c_lon6, "
             "round(sqrt(x * x + y * y + z * z), 6) AS resultant6 FROM a"
+        ),
+        # largest-gap complement over distinct lons per cell — identical
+        # window + arithmetic ops both engines
+        "geo_bbox": (
+            f"WITH pts AS ({_CAND_SQL}), "
+            f"g AS (SELECT {_cell_sql('lat', 'lon', 3)} AS cell, lat, lon FROM pts), "
+            "lats AS (SELECT cell, count(*) AS n_points, min(lat) AS lat_min, "
+            "max(lat) AS lat_max FROM g GROUP BY cell), "
+            "lons AS (SELECT DISTINCT cell, lon FROM g), "
+            "k AS (SELECT cell, lon, coalesce("
+            "lead(lon) OVER (PARTITION BY cell ORDER BY lon), "
+            "first_value(lon) OVER (PARTITION BY cell ORDER BY lon "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) + 3.6e2"
+            ") AS nxt FROM lons), "
+            "b AS (SELECT cell, lon, nxt, nxt - lon AS gap, "
+            "row_number() OVER (PARTITION BY cell "
+            "ORDER BY (nxt - lon) DESC, lon ASC) AS rn FROM k) "
+            "SELECT l.cell, l.n_points, "
+            "round(l.lat_min, 6) AS lat_min6, round(l.lat_max, 6) AS lat_max6, "
+            "round(" + _posmod("b.nxt + 1.8e2") + " - 1.8e2, 6) AS lon_west6, "
+            "round(b.lon, 6) AS lon_east6, "
+            "round(3.6e2 - b.gap, 6) AS lon_width6 "
+            "FROM lats l JOIN b ON b.cell = l.cell AND b.rn = 1"
         ),
         # spherical direct problem with the identical double ops (trig
         # ulp noise absorbed by the 6dp rounding)

@@ -29,7 +29,7 @@ and NO non-clamped adaptive cell exceeds the threshold (max 1920).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.expressions import cell_id_col, parent_cell_col
@@ -170,3 +170,46 @@ def geo_centroid(df: DataFrame, group_col: str,
         F.sqrt(F.col("__x") * F.col("__x") + F.col("__y") * F.col("__y")
                + F.col("__z") * F.col("__z")).alias("resultant"),
     )
+
+
+def geo_bbox(df: DataFrame, group_col: str,
+             lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
+    """Antimeridian-aware per-group bounding box: latitude min/max plus
+    the MINIMAL circular longitude interval covering all points — the
+    complement of the largest angular gap between consecutive distinct
+    longitudes, so a cluster straddling ±180 reports (west=179.x,
+    east=-179.x, width ~1°), not a 358°-wide naive min/max box.
+
+    Output: (group, n_points, lat_min, lat_max, lon_west, lon_east,
+    lon_width) where the interval runs EASTWARD from lon_west to
+    lon_east (lon_west > lon_east ⇔ it crosses the antimeridian).
+    Pure windows + two small aggs over the distinct-longitude relation
+    (bounded by points, grouped work ∝ distinct lons per group).
+    """
+    lats = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min(lat_col).alias("lat_min"),
+        F.max(lat_col).alias("lat_max"),
+    )
+    lons = df.select(group_col, F.col(lon_col).alias("__lon")).distinct()
+    w = Window.partitionBy(group_col).orderBy("__lon")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    gapped = lons.withColumn(
+        "__next", F.coalesce(F.lead("__lon").over(w),
+                             F.first("__lon").over(wf) + 360.0)
+    ).withColumn("__gap", F.col("__next") - F.col("__lon"))
+    # interval = complement of the largest gap; ties -> smallest lon
+    # (deterministic)
+    wg = Window.partitionBy(group_col).orderBy(
+        F.col("__gap").desc(), F.col("__lon").asc())
+    best = gapped.withColumn("__rn", F.row_number().over(wg)) \
+        .filter(F.col("__rn") == 1)
+    span = best.select(
+        group_col,
+        F.col("__lon").alias("lon_east"),
+        (F.pmod(F.col("__next") + 180.0, F.lit(360.0)) - 180.0).alias("lon_west"),
+        (360.0 - F.col("__gap")).alias("lon_width"),
+    )
+    return lats.join(span, on=group_col).select(
+        group_col, "n_points", "lat_min", "lat_max",
+        "lon_west", "lon_east", "lon_width")

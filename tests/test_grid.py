@@ -214,3 +214,27 @@ class TestGeoCentroid:
         assert 10.0 < sp.c_lat < 12.0 and 20.0 < sp.c_lon < 22.0
         assert 0.99 < sp.resultant <= 1.0
         assert (out.n_points == [2, 2, 1, 3]).all() or set(out.n_points) == {1, 2, 3}
+
+    def test_bbox_antimeridian_and_width(self, spark):
+        from geodistpy_spark.operators import geo_bbox
+
+        df = spark.createDataFrame([
+            ("am", 1.0, 179.5), ("am", -1.0, -179.7), ("am", 0.0, 179.9),
+            ("one", -33.9, 151.2),
+            ("spread", 0.0, 0.0), ("spread", 0.0, 90.0), ("spread", 0.0, -90.0),
+        ], "g string, lat double, lon double")
+        out = geo_bbox(df, "g").toPandas().set_index("g")
+        am = out.loc["am"]
+        # minimal interval 179.5 -> east over 180 -> -179.7 (width 0.8)
+        assert abs(am.lon_west - 179.5) < 1e-9
+        assert abs(am.lon_east - -179.7) < 1e-9
+        assert abs(am.lon_width - 0.8) < 1e-9
+        assert am.lat_min == -1.0 and am.lat_max == 1.0
+        one = out.loc["one"]
+        assert one.lon_width == 0.0
+        assert abs(one.lon_west - 151.2) < 1e-9 and one.lon_east == 151.2
+        sp = out.loc["spread"]
+        # three points every 90 deg: largest gap 180 (90 -> -90 wrap),
+        # covered interval -90 -> 0 -> 90, width 180
+        assert abs(sp.lon_width - 180.0) < 1e-9
+        assert abs(sp.lon_west - -90.0) < 1e-9 and abs(sp.lon_east - 90.0) < 1e-9
