@@ -238,3 +238,31 @@ class TestGeoCentroid:
         # covered interval -90 -> 0 -> 90, width 180
         assert abs(sp.lon_width - 180.0) < 1e-9
         assert abs(sp.lon_west - -90.0) < 1e-9 and abs(sp.lon_east - 90.0) < 1e-9
+
+    def test_bbox_random_groups_cover_and_minimal(self, spark):
+        # property sweep in one job: for 200 random groups, every point
+        # longitude lies in the reported circular interval, and the
+        # width equals 360 minus the true largest gap (minimality)
+        import numpy as np
+
+        from geodistpy_spark.operators import geo_bbox
+
+        rng = np.random.default_rng(17)
+        rows, truth = [], {}
+        for g in range(200):
+            n = int(rng.integers(1, 12))
+            lons = rng.uniform(-180.0, 180.0, n)
+            lats = rng.uniform(-90.0, 90.0, n)
+            rows += [(g, float(la), float(lo)) for la, lo in zip(lats, lons)]
+            truth[g] = np.sort(np.unique(lons))
+        df = spark.createDataFrame(rows, "g long, lat double, lon double")
+        out = geo_bbox(df, "g").toPandas().set_index("g")
+        assert len(out) == 200
+        for g, lons in truth.items():
+            r = out.loc[g]
+            gaps = np.diff(np.concatenate([lons, [lons[0] + 360.0]]))
+            assert abs(r.lon_width - (360.0 - gaps.max())) < 1e-9, g
+            pos = np.mod(lons - r.lon_west, 360.0)
+            pos = np.where(pos > 360.0 - 1e-6, pos - 360.0, pos)  # fp wrap
+            assert (pos <= r.lon_width + 1e-9).all(), g
+            assert abs(r.lat_min - min(la for gg, la, lo in rows if gg == g)) < 1e-12
