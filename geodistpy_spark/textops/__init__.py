@@ -32,7 +32,13 @@ from .dedup import (
     simhash_near_pairs,
     tokenize,
 )
-from .multimodal import decode_media, fetch_media_bytes, media_feature_pipeline
+from .multimodal import (
+    decode_media,
+    fetch_media_bytes,
+    media_feature_pipeline,
+    resize_media,
+    sample_frames,
+)
 from .sampling import (
     decontaminate,
     hash_split,
@@ -48,5 +54,5 @@ __all__ = [
     "minhash_signatures", "connected_components", "near_dup_groups", "dedup_near",
     "near_duplicates_minhash", "ngram_jaccard",
     "shingles", "simhash", "simhash_near_pairs", "tokenize", "decode_media",
-    "fetch_media_bytes", "media_feature_pipeline",
+    "fetch_media_bytes", "media_feature_pipeline", "resize_media", "sample_frames",
 ]

@@ -219,3 +219,121 @@ def media_feature_pipeline(docs: DataFrame) -> DataFrame:
     spans = extract_media_spans(docs)
     with_bytes = fetch_media_bytes(spans.select("doc_id", "span_idx", "media_ref"))
     return decode_media(with_bytes)
+
+
+FRAME_BYTES = 32
+
+
+def sample_frames(media_with_bytes: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Uniform frame sampling from opaque video payloads — one output
+    row per sampled frame: (doc_id, span_idx, media_ref, n_total,
+    frame_idx, frame_bytes).
+
+    Payloads are treated as a sequence of ``FRAME_BYTES``-byte frames
+    (the deterministic stand-in for a codec's frame index; a real
+    deployment points the SAME plumbing — mapInPandas with a
+    one-in/many-out exploding batch shape — at the container's real
+    frame table). Sampling picks ``n_frames`` evenly spaced frames
+    (``floor(i * n_total / n_frames)``, deduplicated when the clip is
+    shorter than the ask), so re-runs and engines agree byte-for-byte.
+    """
+    if n_frames < 1:
+        raise ValueError(f"n_frames must be >= 1, got {n_frames}")
+
+    out_schema = (
+        "doc_id string, span_idx int, media_ref string, "
+        "n_total int, frame_idx int, frame_bytes binary"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "span_idx", "media_ref",
+                                   "n_total", "frame_idx", "frame_bytes")}
+            for _, row in pdf.iterrows():
+                p = bytes(row["payload"])
+                total = max(len(p) // FRAME_BYTES, 0)
+                if total == 0:
+                    continue
+                n_eff = min(n_frames, total)
+                picks = sorted({i * total // n_eff for i in range(n_eff)})
+                for fi in picks:
+                    out["doc_id"].append(row["doc_id"])
+                    out["span_idx"].append(row["span_idx"])
+                    out["media_ref"].append(row["media_ref"])
+                    out["n_total"].append(total)
+                    out["frame_idx"].append(fi)
+                    out["frame_bytes"].append(
+                        p[fi * FRAME_BYTES:(fi + 1) * FRAME_BYTES])
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
+
+    return media_with_bytes.mapInPandas(gen, schema=out_schema)
+
+
+def resize_media(media_with_bytes: DataFrame, out_h: int = 8,
+                 out_w: int = 8) -> DataFrame:
+    """Bilinear resize of each media item's luminance grid to
+    (out_h, out_w): (doc_id, span_idx, media_ref, src_h, src_w, pixels)
+    with ``pixels`` a row-major array<float> of length out_h * out_w.
+
+    The RESIZE math (vectorized numpy bilinear over the Arrow batch) is
+    real; the SOURCE grid is the honest stand-in for the absent pixel
+    codecs — a deterministic sha256-stream luminance grid at the
+    header's true aspect ratio (clamped to 16x16 samples). Swapping the
+    stand-in for a real decoder changes one function, not the plumbing.
+    """
+    if out_h < 1 or out_w < 1:
+        raise ValueError(f"output shape must be >= 1x1, got {out_h}x{out_w}")
+
+    out_schema = (
+        "doc_id string, span_idx int, media_ref string, "
+        "src_h int, src_w int, pixels array<float>"
+    )
+
+    def _src_grid(p: bytes):
+        hdr = parse_image_header(p)
+        if hdr is not None:
+            _, w, h = hdr
+        else:
+            u0, u1 = struct.unpack("<HH", p[:4]) if len(p) >= 4 else (64, 64)
+            w, h = u0 % 1920 + 16, u1 % 1080 + 16
+        gh, gw = min(h, 16), min(w, 16)
+        stream = hashlib.sha256(p).digest()
+        while len(stream) < gh * gw:
+            stream += hashlib.sha256(stream).digest()
+        g = np.frombuffer(stream[:gh * gw], dtype=np.uint8) / 255.0
+        return h, w, g.reshape(gh, gw)
+
+    def _bilinear(g: np.ndarray) -> np.ndarray:
+        gh, gw = g.shape
+        ys = np.linspace(0.0, gh - 1.0, out_h)
+        xs = np.linspace(0.0, gw - 1.0, out_w)
+        y0 = np.clip(np.floor(ys).astype(int), 0, gh - 1)
+        x0 = np.clip(np.floor(xs).astype(int), 0, gw - 1)
+        y1 = np.minimum(y0 + 1, gh - 1)
+        x1 = np.minimum(x0 + 1, gw - 1)
+        fy = (ys - y0)[:, None]
+        fx = (xs - x0)[None, :]
+        return ((g[y0][:, x0] * (1 - fy) * (1 - fx))
+                + (g[y1][:, x0] * fy * (1 - fx))
+                + (g[y0][:, x1] * (1 - fy) * fx)
+                + (g[y1][:, x1] * fy * fx))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hs, ws, px = [], [], []
+            for p in pdf["payload"]:
+                h, w, g = _src_grid(bytes(p))
+                hs.append(h)
+                ws.append(w)
+                px.append(_bilinear(g).ravel().astype(np.float32))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "span_idx": pdf["span_idx"],
+                "media_ref": pdf["media_ref"],
+                "src_h": np.asarray(hs, dtype="int32"),
+                "src_w": np.asarray(ws, dtype="int32"),
+                "pixels": px,
+            })
+
+    return media_with_bytes.mapInPandas(gen, schema=out_schema)

@@ -462,6 +462,59 @@ class TestMultimodal:
             decode_media(wb, fake=False).count()
 
 
+class TestMultimodalFramesResize:
+    def _spans(self, spark):
+        return spark.createDataFrame(
+            [("d1", 0, "media://a"), ("d2", 1, "media://b")],
+            "doc_id string, span_idx int, media_ref string")
+
+    def test_sample_frames_uniform_and_bytes(self, spark):
+        from geodistpy_spark.textops import fetch_media_bytes, sample_frames
+        from geodistpy_spark.textops.multimodal import (
+            FRAME_BYTES, PAYLOAD_BYTES, _synth_payload)
+
+        wb = fetch_media_bytes(self._spans(spark))
+        out = sample_frames(wb, n_frames=3).toPandas()
+        total = PAYLOAD_BYTES // FRAME_BYTES
+        assert (out.n_total == total).all()
+        per = out.groupby("doc_id").frame_idx.apply(list).to_dict()
+        want = sorted({i * total // 3 for i in range(3)})
+        assert per["d1"] == want and per["d2"] == want
+        # sampled bytes are the payload's actual frame slices
+        p = _synth_payload("media://a")
+        for _, r in out[out.doc_id == "d1"].iterrows():
+            lo = r.frame_idx * FRAME_BYTES
+            assert bytes(r.frame_bytes) == p[lo:lo + FRAME_BYTES]
+        # more frames than the clip has -> every frame once
+        allf = sample_frames(wb, n_frames=99).toPandas()
+        assert sorted(allf[allf.doc_id == "d1"].frame_idx) == list(range(total))
+        with pytest.raises(ValueError, match="n_frames"):
+            sample_frames(wb, n_frames=0)
+
+    def test_resize_media_bilinear(self, spark):
+        from geodistpy_spark.textops import fetch_media_bytes, resize_media
+        from geodistpy_spark.textops.multimodal import parse_image_header, _synth_payload
+
+        wb = fetch_media_bytes(self._spans(spark))
+        out = resize_media(wb, out_h=4, out_w=6).toPandas()
+        assert len(out) == 2
+        assert out.pixels.map(len).eq(24).all()
+        v = np.concatenate(out.pixels.values)
+        assert ((v >= 0.0) & (v <= 1.0)).all()
+        # src dims match the real header parse when one exists
+        hdr = parse_image_header(_synth_payload("media://a"))
+        if hdr is not None:
+            row = out[out.doc_id == "d1"].iloc[0]
+            assert (row.src_w, row.src_h) == (hdr[1], hdr[2])
+        # deterministic across runs
+        again = resize_media(wb, out_h=4, out_w=6).toPandas()
+        a = {d: list(p) for d, p in zip(out.doc_id, out.pixels)}
+        b = {d: list(p) for d, p in zip(again.doc_id, again.pixels)}
+        assert a == b
+        with pytest.raises(ValueError, match="output shape"):
+            resize_media(wb, out_h=0)
+
+
 class TestSamplingOps:
     def test_contamination_planted_and_decontaminate(self, spark):
         from geodistpy_spark.textops import decontaminate, ngram_contamination
