@@ -950,6 +950,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("lon_width", 6).alias("lon_width6"),
         )
 
+    def q_ivfpq_topk(spark, sf_dir):
+        # the production ANN composition (rows-only like ivf/pq: k-means
+        # seeding; recall gated in pytest)
+        from geodistpy_spark.textops import ivfpq_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        dim = len(emb.first()["embedding"])
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
+        out = ivfpq_topk(emb, q, 5, n_cells=8, n_probe=4,
+                         m=8 if dim % 8 == 0 else 4, shortlist=64)
+        return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cos_r"))
+
     def q_buffer_rings(spark, sf_dir):
         # geofence construction: 50 km spherical buffer around every
         # 10th candidate point, vertices exploded in ring order
@@ -1025,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "ivf_topk": q_ivf_topk,
         "pq_topk": q_pq_topk,
+        "ivfpq_topk": q_ivfpq_topk,
         "buffer_rings": q_buffer_rings,
         "geo_centroid": q_geo_centroid,
         "geo_bbox": q_geo_bbox,

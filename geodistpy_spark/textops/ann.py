@@ -278,6 +278,100 @@ def pq_topk(emb: DataFrame, queries: DataFrame, k: int,
     )
 
 
+def ivfpq_topk(emb: DataFrame, queries: DataFrame, k: int,
+               n_cells: int | None = 16, n_probe: int = 4,
+               m: int = 8, bits: int = 8, shortlist: int = 64,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               q_id: str = "query_id", q_vec: str = "q_vec") -> DataFrame:
+    """IVF x PQ — the production ANN composition: IVF prunes WHICH
+    vectors each query scores (top-``n_probe`` cells only), PQ
+    compresses WHAT that scan reads (m one-byte codes per vector), and
+    the ADC shortlist re-ranks with exact cosine. At 10^12 vectors this
+    is the only shape whose per-query cost is sublinear in BOTH
+    candidate count and bytes-per-candidate.
+
+    Output schema matches :func:`cosine_topk`; approximate by design —
+    recall-gated, not equality-gated.
+    """
+    import numpy as np
+
+    cents, assigned = build_ivf_index(emb, n_cells, id_col, vec_col)
+    books = train_pq(emb, m, bits, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(emb, books, id_col, vec_col).join(
+        assigned.select(id_col, "cell"), on=id_col)
+
+    qrows = queries.select(
+        F.col(q_id), F.col(q_vec).cast("array<double>").alias("qv")).collect()
+    qids = [r[q_id] for r in qrows]
+    Q = np.stack([np.asarray(r["qv"], float) for r in qrows])
+    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    mm, ksub, dsub = books.shape
+    lut = np.einsum("qjd,jcd->qjc", Q.reshape(len(Q), mm, dsub), books)
+
+    # per-query probed cells (tiny: queries x centroids, broadcast)
+    spark = emb.sparkSession
+    q_id_type = queries.schema[q_id].dataType.simpleString()
+    qmap = spark.createDataFrame(
+        [(i, qid) for i, qid in enumerate(qids)],
+        f"__qidx int, {q_id} {q_id_type}")
+    q = queries.select(F.col(q_id),
+                       F.col(q_vec).cast("array<double>").alias("qv"))
+    qc = q.join(F.broadcast(qmap), on=q_id).crossJoin(F.broadcast(cents)) \
+        .withColumn("csim", _dot("qv", "cv") / (_norm("qv") * _norm("cv")))
+    wq = Window.partitionBy(q_id).orderBy(F.col("csim").desc(),
+                                          F.col("cell").asc())
+    probes = (qc.withColumn("__rn", F.row_number().over(wq))
+              .filter(F.col("__rn") <= n_probe)
+              .select("__qidx", "cell"))
+
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("__qidx", T.IntegerType()),
+        T.StructField("adc", T.DoubleType()),
+    ])
+    probe_map: dict = {}
+    for r in probes.collect():  # n_queries x n_probe ints — broadcast-tiny
+        probe_map.setdefault(int(r["cell"]), []).append(int(r["__qidx"]))
+
+    def _score(pdfs):
+        import pandas as pd
+
+        for pdf in pdfs:
+            C = np.stack(pdf["codes"].values).astype(np.int64)
+            cells = pdf["cell"].values
+            ids = pdf[id_col].values
+            rows = np.arange(mm)[None, :]
+            frames = []
+            for qi in range(len(qids)):
+                sel = np.array([qi in probe_map.get(int(c), ()) for c in cells])
+                if not sel.any():
+                    continue
+                s = lut[qi][rows, C[sel]].sum(axis=1)
+                frames.append(pd.DataFrame(
+                    {id_col: ids[sel], "__qidx": qi, "adc": s}))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    scored = codes.mapInPandas(_score, out_schema)
+    ws = Window.partitionBy("__qidx").orderBy(F.col("adc").desc(),
+                                              F.col(id_col).asc())
+    short = scored.withColumn("__rn", F.row_number().over(ws)) \
+        .filter(F.col("__rn") <= shortlist) \
+        .join(F.broadcast(qmap), on="__qidx")
+    v = emb.select(F.col(id_col),
+                   F.col(vec_col).cast("array<double>").alias("v"))
+    cand = short.select(q_id, id_col).join(v, on=id_col).join(
+        F.broadcast(q), on=q_id)
+    sim = cand.withColumn("cosine", _dot("v", "qv") / (_norm("v") * _norm("qv")))
+    w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(),
+                                         F.col(id_col).asc())
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, id_col, "cosine", "rank")
+    )
+
+
 def ivf_topk(emb: DataFrame, queries: DataFrame, k: int,
              n_cells: int | None = 16,
              n_probe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",

@@ -602,3 +602,24 @@ class TestSamplingOps:
         assert set(t.doc_id) == {21}
         with pytest.raises(ValueError, match="score_col"):
             dedup_near(docs, keep="best")
+
+
+class TestIvfPq:
+    def test_ivfpq_recall_vs_brute(self, spark):
+        from geodistpy_spark.textops import cosine_topk, ivfpq_topk
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        dim = len(emb.first()["embedding"])
+        m = 8 if dim % 8 == 0 else 4
+        q = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
+        exact = cosine_topk(emb, q, 5).toPandas()
+        got = ivfpq_topk(emb, q, 5, n_cells=8, n_probe=4, m=m,
+                         shortlist=64).toPandas()
+        hit = set(map(tuple, got[["query_id", "vec_id"]].values))
+        want = set(map(tuple, exact[["query_id", "vec_id"]].values))
+        # recall bounded by the IVF probe pruning (self-cell always probed)
+        assert len(hit & want) / len(want) >= 0.5
+        for qi in range(8):  # self-hit survives IVF + PQ + re-rank
+            assert qi in set(got[got.query_id == qi].vec_id)
+        assert (got.groupby("query_id").vec_id.count() <= 5).all()
