@@ -662,6 +662,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         geo = extract_geo_spans(docs, res=6)
         return geo.groupBy(F.col("cell_r6").alias("cell")).agg(F.count("*").alias("n"))
 
+    def q_simplify_path(spark, sf_dir):
+        # Douglas-Peucker trajectory simplification at 10 km (rows-only:
+        # recursive split is not SQL-expressible; the DP epsilon
+        # guarantee is property-tested in pytest)
+        from geodistpy_spark.sources import simplify_path
+
+        geo = extract_geo_spans(_fixture_docs(spark))
+        out = simplify_path(geo, epsilon_m=10_000.0)
+        return out.select("doc_id",
+                          F.col("span_idx").cast("long").alias("span_idx"))
+
     def q_span_path(spark, sf_dir):
         # per-document trajectory over ordered geo spans (integer-mm leg
         # sum -> order-independent, hence SQL-exact)
@@ -1017,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_span_meta": q_media_span_meta,
         "doc_cell_histogram": q_doc_cell_histogram,
         "span_path": q_span_path,
+        "simplify_path": q_simplify_path,
         "geotag_spans": q_geotag_spans,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,

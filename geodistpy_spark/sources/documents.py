@@ -126,6 +126,83 @@ def span_path_stats(docs: DataFrame, exact: bool = False,
     )
 
 
+def simplify_path(points: DataFrame, epsilon_m: float,
+                  id_col: str = "doc_id",
+                  order_col: str = "span_idx",
+                  lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
+    """Per-document Douglas-Peucker polyline simplification: keep the
+    minimal ordered subset of each document's points such that every
+    dropped point lies within ``epsilon_m`` (spherical cross-track
+    meters) of the simplified path. Endpoints always survive.
+
+    Plan: ONE ``applyInPandas`` grouped-map over ``id_col`` — per-group
+    work is the classic stack DP (numpy-vectorized cross-track per
+    segment), cost follows the longest document, not the corpus.
+    Output: the input columns, kept rows only, order preserved.
+    """
+    import numpy as np
+
+    if epsilon_m < 0:
+        raise ValueError(f"epsilon_m must be >= 0, got {epsilon_m}")
+    R = 6_371_009.0
+
+    def _xtrack(la1, lo1, la2, lo2, la, lo):
+        """|cross-track| of points (la, lo) vs segment 1->2, meters."""
+        p1, l1 = np.radians(la1), np.radians(lo1)
+        p2, l2 = np.radians(la2), np.radians(lo2)
+        p, l = np.radians(la), np.radians(lo)
+
+        def hav(pa, laa, pb, lab):
+            h = (np.sin((pb - pa) / 2) ** 2
+                 + np.cos(pa) * np.cos(pb) * np.sin((lab - laa) / 2) ** 2)
+            return 2 * np.arcsin(np.sqrt(np.clip(h, 0, 1)))
+
+        def brg(pa, laa, pb, lab):
+            dl = lab - laa
+            return np.arctan2(np.sin(dl) * np.cos(pb),
+                              np.cos(pa) * np.sin(pb)
+                              - np.sin(pa) * np.cos(pb) * np.cos(dl))
+
+        d13 = hav(p1, l1, p, l)
+        if hav(p1, l1, p2, l2) < 1e-12:  # degenerate segment -> radial
+            return d13 * R
+        t13 = brg(p1, l1, p, l)
+        t12 = np.full_like(t13, brg(p1, l1, p2, l2))
+        return np.abs(np.arcsin(np.clip(np.sin(d13) * np.sin(t13 - t12),
+                                        -1, 1))) * R
+
+    schema = points.select(id_col, order_col, lat_col, lon_col).schema
+
+    def _simplify(pdf):
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        n = len(pdf)
+        if n <= 2:
+            return pdf[[id_col, order_col, lat_col, lon_col]]
+        la = pdf[lat_col].to_numpy(float)
+        lo = pdf[lon_col].to_numpy(float)
+        keep = np.zeros(n, dtype=bool)
+        keep[0] = keep[-1] = True
+        stack = [(0, n - 1)]
+        while stack:
+            i, j = stack.pop()
+            if j - i < 2:
+                continue
+            mid = slice(i + 1, j)
+            d = _xtrack(la[i], lo[i], la[j], lo[j], la[mid], lo[mid])
+            worst = int(np.argmax(d))
+            if d[worst] > epsilon_m:
+                w = i + 1 + worst
+                keep[w] = True
+                stack.append((i, w))
+                stack.append((w, j))
+        return pdf.loc[keep, [id_col, order_col, lat_col, lon_col]]
+
+    return (
+        points.select(id_col, order_col, lat_col, lon_col)
+        .groupBy(id_col).applyInPandas(_simplify, schema)
+    )
+
+
 def extract_media_spans(docs: DataFrame) -> DataFrame:
     """Media spans with parsed scheme/key metadata (binary payloads are
     opaque references at this layer; decode happens in textops.multimodal).

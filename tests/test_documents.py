@@ -169,3 +169,73 @@ class TestSpanPath:
         # equatorial degree: ~111.32 km; Vincenty vs Lambert within meters
         assert abs(ex - 111_319_491) < 2_000  # mm
         assert abs(gc - ex) < 20_000
+
+
+class TestSimplifyPath:
+    def test_dp_guarantee_and_corner_survival(self, spark):
+        import numpy as np
+
+        from geodistpy_spark.sources import simplify_path
+
+        # doc A: straight east-ward path with tiny wiggles (< eps) ->
+        # only the endpoints survive. doc B: a sharp corner (>> eps)
+        # must survive. doc C: 2 points pass through untouched.
+        rows = []
+        for i in range(20):
+            rows.append(("A", i, 10.0 + (0.0001 if i % 2 else -0.0001),
+                         20.0 + i * 0.01))
+        rows += [("B", 0, 0.0, 0.0), ("B", 1, 0.0, 1.0), ("B", 2, 1.0, 1.0)]
+        rows += [("C", 0, 5.0, 5.0), ("C", 1, 5.1, 5.1)]
+        df = spark.createDataFrame(rows, "doc_id string, span_idx long, lat double, lon double")
+        out = simplify_path(df, epsilon_m=100.0).toPandas()
+        a = out[out.doc_id == "A"].sort_values("span_idx")
+        assert list(a.span_idx) == [0, 19]           # wiggles ~11m < 100m
+        b = out[out.doc_id == "B"].sort_values("span_idx")
+        assert list(b.span_idx) == [0, 1, 2]         # corner ~78km >> eps
+        c = out[out.doc_id == "C"]
+        assert len(c) == 2
+        # eps=0 keeps everything non-collinear
+        out0 = simplify_path(df, epsilon_m=0.0).toPandas()
+        assert len(out0[out0.doc_id == "A"]) == 20
+        import pytest as _p
+        with _p.raises(ValueError, match="epsilon"):
+            simplify_path(df, epsilon_m=-1.0)
+
+    def test_dp_error_bound_random_paths(self, spark):
+        # property: every dropped point is within eps cross-track of the
+        # segment between its surviving neighbors
+        import numpy as np
+
+        from geodistpy_spark import kernels as K
+        from geodistpy_spark.sources import simplify_path
+
+        rng = np.random.default_rng(23)
+        rows = []
+        for d in range(10):
+            la, lo = rng.uniform(-60, 60), rng.uniform(-170, 170)
+            for i in range(30):
+                la += rng.uniform(-0.05, 0.05)
+                lo += rng.uniform(0.0, 0.08)
+                rows.append((str(d), i, float(la), float(lo)))
+        df = spark.createDataFrame(rows, "doc_id string, span_idx long, lat double, lon double")
+        eps = 500.0
+        out = simplify_path(df, epsilon_m=eps).toPandas()
+        byd = {str(d): [r for r in rows if r[0] == str(d)] for d in range(10)}
+        for d, pts in byd.items():
+            kept = sorted(out[out.doc_id == d].span_idx)
+            assert kept[0] == 0 and kept[-1] == 29
+            for a, b in zip(kept, kept[1:]):
+                for i in range(a + 1, b):
+                    # dropped point within eps of chord a->b (via the
+                    # triangle bound: min leg distance <= xtrack + slop)
+                    d_a = K.great_circle(np.array([pts[a][2]]), np.array([pts[a][3]]),
+                                         np.array([pts[i][2]]), np.array([pts[i][3]]))[0]
+                    d_b = K.great_circle(np.array([pts[b][2]]), np.array([pts[b][3]]),
+                                         np.array([pts[i][2]]), np.array([pts[i][3]]))[0]
+                    chord = K.great_circle(np.array([pts[a][2]]), np.array([pts[a][3]]),
+                                           np.array([pts[b][2]]), np.array([pts[b][3]]))[0]
+                    # Heron altitude of the planar-ized triangle ~ cross-track
+                    s = (d_a + d_b + chord) / 2
+                    area = max(s * (s - d_a) * (s - d_b) * (s - chord), 0.0) ** 0.5
+                    alt = 2 * area / max(chord, 1e-9)
+                    assert alt <= eps * 1.1, (d, i, alt)
