@@ -82,6 +82,52 @@ def _valid_coords(lat: str, lon: str):
     )
 
 
+def candidate_histogram_from_layout(path: str) -> tuple[np.ndarray, int]:
+    """(counts[n,n], total) from a :func:`~geodistpy_spark.sources.io.
+    write_cell_partitioned` layout WITHOUT scanning any data: per-cell
+    row counts come from the parquet FOOTER metadata of each hive
+    partition directory (``cell_pK=<cell>``), summed file by file.
+
+    Partition cells coarser than HIST_RES spread their count uniformly
+    over their HIST_RES descendants (finer ones roll up) — the kNN
+    radius estimator only needs a density GUESS; phases 2/3 correct any
+    error. This is the zero-cost path for repeated knn_join calls
+    against a written corpus: pass the result via ``hist=`` and each
+    join runs exactly ONE candidate scan (the join itself).
+    """
+    import os
+    import re
+
+    import pyarrow.parquet as pq
+
+    n = grid.nx(HIST_RES)
+    counts = np.zeros((n, n), dtype=np.int64)
+    pat = re.compile(r"^cell_p(\d+)=(\d+)$")
+    for entry in sorted(os.listdir(path)):
+        m = pat.match(entry)
+        if not m:
+            continue
+        p_res, cell = int(m.group(1)), int(m.group(2))
+        rows = 0
+        pdir = os.path.join(path, entry)
+        for f in os.listdir(pdir):
+            if f.endswith(".parquet"):
+                rows += pq.ParquetFile(os.path.join(pdir, f)).metadata.num_rows
+        if rows == 0:
+            continue
+        pn = grid.nx(p_res)
+        py, px = divmod(cell, pn)
+        if p_res <= HIST_RES:
+            k = n // pn  # each coarse cell covers a k x k block
+            counts[py * k:(py + 1) * k, px * k:(px + 1) * k] += rows // (k * k)
+            # remainder to the block corner so totals stay exact
+            counts[py * k, px * k] += rows - (rows // (k * k)) * k * k
+        else:
+            s = pn // n
+            counts[py // s, px // s] += rows
+    return counts, int(counts.sum())
+
+
 def candidate_histogram(candidates: DataFrame, c_lat: str = "lat",
                         c_lon: str = "lon") -> tuple[np.ndarray, int]:
     """(counts[n,n], total) — the coarse density histogram knn_join seeds

@@ -144,3 +144,39 @@ class TestDocumentsIO:
 
         with pytest.raises(ValueError, match="doc_id, spans"):
             write_documents(places, str(tmp_path / "bad"))
+
+
+class TestLayoutHistogram:
+    def test_metadata_histogram_matches_scan(self, spark, tmp_path):
+        # footer-metadata histogram == scan-based histogram in TOTAL, and
+        # knn_join(hist=metadata) returns the same neighbors as the
+        # scan-seeded join (estimator errors are corrected by phases 2/3)
+        import numpy as np
+
+        from geodistpy_spark.operators import (
+            candidate_histogram, candidate_histogram_from_layout, knn_join)
+        from geodistpy_spark.sources.io import write_cell_partitioned
+
+        rng = np.random.default_rng(29)
+        pts = [(int(i), float(la), float(lo)) for i, (la, lo) in enumerate(
+            zip(rng.uniform(30, 60, 4000), rng.uniform(-10, 40, 4000)))]
+        df = spark.createDataFrame(pts, "cid long, lat double, lon double")
+        path = str(tmp_path / "layout")
+        write_cell_partitioned(df, path)
+        counts, total = candidate_histogram_from_layout(path)
+        s_counts, s_total = candidate_histogram(df)
+        assert total == s_total == 4000
+        # coarse spread: block sums must agree exactly with the scan at
+        # the partition resolution (res 4 -> 16x16 blocks over the 64 grid)
+        k = counts.shape[0] // 16
+        a = counts.reshape(16, k, 16, k).sum(axis=(1, 3))
+        b = s_counts.reshape(16, k, 16, k).sum(axis=(1, 3))
+        assert (a == b).all()
+        q = spark.createDataFrame(
+            [(0, 45.0, 15.0), (1, 55.0, -5.0)],
+            "query_id long, q_lat double, q_lon double")
+        got_meta = knn_join(q, df, 5, c_id="cid", hist=(counts, total)) \
+            .select("query_id", "cid").toPandas()
+        got_scan = knn_join(q, df, 5, c_id="cid", hist=(s_counts, s_total)) \
+            .select("query_id", "cid").toPandas()
+        assert set(map(tuple, got_meta.values)) == set(map(tuple, got_scan.values))
