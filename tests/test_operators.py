@@ -721,6 +721,14 @@ class TestPolygons:
             geodesic_buffer(ctr, r, n_vertices=2)
         with pytest.raises(ValueError, match="radius"):
             geodesic_buffer(ctr, -1.0)
+        # exact mode: vertices at the ELLIPSOIDAL radius to sub-mm
+        ex = geodesic_buffer(ctr.filter(F.col("poly_id") == 1), r,
+                             n_vertices=16, exact=True).toPandas()
+        ev = ex.ring.iloc[0]
+        ela = np.array([s["lat"] for s in ev])
+        elo = np.array([s["lon"] for s in ev])
+        ed = K.geodesic_inverse(np.full(16, 40.0), np.full(16, -74.0), ela, elo)
+        assert np.abs(ed - r).max() < 1e-3
 
     def test_degenerate_polygon_inputs(self, spark):
         # empty tables, null rings, and <3-vertex rings must not crash
