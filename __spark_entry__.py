@@ -47,6 +47,8 @@ FIXTURE_GOLDEN = os.path.join(_REPO, "fixtures", "golden")
 GOLDEN_DIST_TOL_M = 2.5e-4   # kernel distance vs mpmath truth
 GOLDEN_POS_TOL_M = 5e-3      # derived positions (midpoint/waypoints)
 GOLDEN_ROUNDTRIP_TOL_M = 1e-3  # inverse+bearing+direct composed
+GOLDEN_PATH_TOL_M = 0.05     # span_path leg sum: <=7 legs x 0.5 mm quantization
+GOLDEN_NET_TOL_M = 0.51      # span_path net: operator rounds to whole meters
 
 # ---------------------------------------------------------------------------
 # shared derived-point formulas (pure integer math -> exact in both engines)
@@ -663,9 +665,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return geo.groupBy(F.col("cell_r6").alias("cell")).agg(F.count("*").alias("n"))
 
     def q_simplify_path(spark, sf_dir):
-        # Douglas-Peucker trajectory simplification at 10 km (rows-only:
-        # recursive split is not SQL-expressible; the DP epsilon
-        # guarantee is property-tested in pytest)
+        # Douglas-Peucker trajectory simplification at 10 km, gated
+        # against the committed independent scalar-DP kept-set
+        # (fixtures/golden/simplify.parquet, scripts/make_golden_docs.py)
+        # — kept ids are integers, so the compare is tie-proof
         from geodistpy_spark.sources import simplify_path
 
         geo = extract_geo_spans(_fixture_docs(spark))
@@ -674,15 +677,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.col("span_idx").cast("long").alias("span_idx"))
 
     def q_span_path(spark, sf_dir):
-        # per-document trajectory over ordered geo spans (integer-mm leg
-        # sum -> order-independent, hence SQL-exact)
+        # per-document trajectory over ordered geo spans, gated against
+        # the committed mpmath Andoyer-Lambert golden
+        # (fixtures/golden/span_path.parquet): within-tolerance booleans
+        # + golden-sourced reference columns — tie-proof, unlike the r3
+        # integer-mm quantization whose half-ties flipped on 1-ulp libm
+        # differences between Spark and the DuckDB build
         from geodistpy_spark.sources.documents import span_path_stats
 
         out = span_path_stats(_fixture_docs(spark))
-        return out.select("doc_id",
-                          F.col("n_points").cast("long").alias("n_points"),
-                          F.col("path_mm").cast("long").alias("path_mm"),
-                          "net_m")
+        g = spark.read.parquet(f"{FIXTURE_GOLDEN}/span_path.parquet") \
+            .withColumnRenamed("n_points", "g_n") \
+            .withColumnRenamed("path_m", "g_path") \
+            .withColumnRenamed("net_m", "g_net")
+        j = out.join(g, on="doc_id")
+        return j.select(
+            "doc_id",
+            F.col("n_points").cast("long").alias("n_points"),
+            F.round("g_path", 3).alias("ref_path_m"),
+            F.round("g_net", 2).alias("ref_net_m"),
+            (F.abs(F.col("path_mm") / 1000.0 - F.col("g_path"))
+             <= GOLDEN_PATH_TOL_M).alias("ok_path"),
+            (F.abs(F.col("net_m") - F.col("g_net"))
+             <= GOLDEN_NET_TOL_M).alias("ok_net"),
+        )
 
     # --- training-data ops over driver documents (oracle-checked) ------
     def q_dedup_exact(spark, sf_dir):
@@ -1254,29 +1272,21 @@ def oracle_sql() -> dict[str, str]:
             "TRY_CAST(split_part(span.text, ',', 2) AS DOUBLE) AS lon "
             "FROM s WHERE span.kind = 'geo') GROUP BY 1"
         ),
-        # per-document trajectory: lag window over span order, legs
-        # rounded to integer millimeters BEFORE summation (addition-
-        # order-independent -> bit-identical across engines)
+        # per-document trajectory: golden-gated (mpmath Andoyer-Lambert
+        # truth committed as parquet, scripts/make_golden_docs.py) — the
+        # oracle returns the same golden-sourced reference columns with
+        # ok=TRUE; Spark's side computes the booleans. Tie-proof: no
+        # engine-vs-engine float rounding anywhere in the compare.
         "span_path": (
-            f"{span_cte}, g AS (SELECT doc_id, span_idx, "
-            "TRY_CAST(split_part(span.text, ',', 1) AS DOUBLE) AS lat, "
-            "TRY_CAST(split_part(span.text, ',', 2) AS DOUBLE) AS lon "
-            "FROM s WHERE span.kind = 'geo' "
-            "AND TRY_CAST(split_part(span.text, ',', 1) AS DOUBLE) IS NOT NULL "
-            "AND TRY_CAST(split_part(span.text, ',', 2) AS DOUBLE) IS NOT NULL "
-            "AND TRY_CAST(split_part(span.text, ',', 1) AS DOUBLE) BETWEEN -9e1 AND 9e1 "
-            "AND TRY_CAST(split_part(span.text, ',', 2) AS DOUBLE) BETWEEN -1.8e2 AND 1.8e2), "
-            "l AS (SELECT doc_id, span_idx, lat, lon, "
-            "lag(lat) OVER w AS plat, lag(lon) OVER w AS plon FROM g "
-            "WINDOW w AS (PARTITION BY doc_id ORDER BY span_idx)), "
-            "p AS (SELECT doc_id, count(*) AS n_points, "
-            "sum(CASE WHEN plat IS NULL THEN 0 ELSE "
-            f"CAST(round(({_gc_sql('plat', 'plon', 'lat', 'lon')}) * 1e3, 0) AS BIGINT) END) AS path_mm, "
-            "arg_min(lat, span_idx) AS flat, arg_min(lon, span_idx) AS flon, "
-            "arg_max(lat, span_idx) AS llat, arg_max(lon, span_idx) AS llon "
-            "FROM l GROUP BY doc_id) "
-            "SELECT doc_id, n_points, path_mm, "
-            f"round({_gc_sql('flat', 'flon', 'llat', 'llon')}, 0) AS net_m FROM p"
+            f"SELECT doc_id, n_points, round(path_m, 3) AS ref_path_m, "
+            "round(net_m, 2) AS ref_net_m, TRUE AS ok_path, TRUE AS ok_net "
+            f"FROM read_parquet('{FIXTURE_GOLDEN}/span_path.parquet')"
+        ),
+        # Douglas-Peucker kept-set: golden fixture from the independent
+        # scalar DP implementation (scripts/make_golden_docs.py)
+        "simplify_path": (
+            "SELECT doc_id, span_idx "
+            f"FROM read_parquet('{FIXTURE_GOLDEN}/simplify.parquet')"
         ),
         "dedup_exact": (
             "SELECT doc_id, md5(text) AS text_hash, "

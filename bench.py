@@ -156,11 +156,11 @@ def run_bench(spark, sf_dir: str) -> dict[str, float]:
     timed("q7_embed_topk", lambda: cosine_topk(emb, qv, 10).count())
 
     # q8: span-sequence roundtrip verification over the full docs table
-    from geodistpy_spark.sources.documents import (
-        explode_spans, reassemble_spans, verify_span_sequence)
+    # (single-pass: original fingerprint + explode + reassembly fp in
+    # one scan/shuffle — see sources.documents.verify_roundtrip)
+    from geodistpy_spark.sources.documents import verify_roundtrip
 
-    timed("q8_span_roundtrip", lambda: verify_span_sequence(
-        docs, reassemble_spans(explode_spans(docs))))
+    timed("q8_span_roundtrip", lambda: verify_roundtrip(docs))
 
     geo.unpersist()
     timings["_n_docs"] = n_docs

@@ -118,8 +118,15 @@ def span_path_stats(docs: DataFrame, exact: bool = False,
             F.max_by(F.struct("lat", "lon"), "span_idx").alias("__last"),
         )
     )
-    net = great_circle_m(F.col("__first.lat"), F.col("__first.lon"),
-                         F.col("__last.lat"), F.col("__last.lon"))
+    if exact:
+        # same model for net as for the legs (Vincenty), so exact=True
+        # output is single-model end to end
+        net = vincenty_udf(ellipsoid, once=True)(
+            F.col("__first.lat"), F.col("__first.lon"),
+            F.col("__last.lat"), F.col("__last.lon"))
+    else:
+        net = great_circle_m(F.col("__first.lat"), F.col("__first.lon"),
+                             F.col("__last.lat"), F.col("__last.lon"))
     return stats.select(
         "doc_id", "n_points", "path_mm",
         F.round(net, 0).cast("double").alias("net_m"),
@@ -132,8 +139,12 @@ def simplify_path(points: DataFrame, epsilon_m: float,
                   lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
     """Per-document Douglas-Peucker polyline simplification: keep the
     minimal ordered subset of each document's points such that every
-    dropped point lies within ``epsilon_m`` (spherical cross-track
-    meters) of the simplified path. Endpoints always survive.
+    dropped point lies within ``epsilon_m`` (spherical
+    distance-to-SEGMENT meters: |cross-track| where the along-track
+    projection falls inside the segment, min endpoint distance where it
+    falls outside — so doubling-back trajectories are measured against
+    the segment actually kept, not its infinite great circle) of the
+    simplified path. Endpoints always survive.
 
     Plan: ONE ``applyInPandas`` grouped-map over ``id_col`` — per-group
     work is the classic stack DP (numpy-vectorized cross-track per
@@ -147,7 +158,11 @@ def simplify_path(points: DataFrame, epsilon_m: float,
     R = 6_371_009.0
 
     def _xtrack(la1, lo1, la2, lo2, la, lo):
-        """|cross-track| of points (la, lo) vs segment 1->2, meters."""
+        """Distance of points (la, lo) to the great-circle SEGMENT 1->2,
+        meters: |cross-track| when the along-track projection lands
+        inside [0, len(1->2)], else min great-circle distance to the
+        nearer endpoint (raw cross-track underestimates for points whose
+        projection falls past an endpoint — doubling-back paths)."""
         p1, l1 = np.radians(la1), np.radians(lo1)
         p2, l2 = np.radians(la2), np.radians(lo2)
         p, l = np.radians(la), np.radians(lo)
@@ -164,12 +179,15 @@ def simplify_path(points: DataFrame, epsilon_m: float,
                               - np.sin(pa) * np.cos(pb) * np.cos(dl))
 
         d13 = hav(p1, l1, p, l)
-        if hav(p1, l1, p2, l2) < 1e-12:  # degenerate segment -> radial
+        d12 = hav(p1, l1, p2, l2)
+        if d12 < 1e-12:  # degenerate segment -> radial
             return d13 * R
-        t13 = brg(p1, l1, p, l)
-        t12 = np.full_like(t13, brg(p1, l1, p2, l2))
-        return np.abs(np.arcsin(np.clip(np.sin(d13) * np.sin(t13 - t12),
-                                        -1, 1))) * R
+        dt = brg(p1, l1, p, l) - brg(p1, l1, p2, l2)
+        xt = np.abs(np.arcsin(np.clip(np.sin(d13) * np.sin(dt), -1, 1)))
+        # signed along-track angle: >0 ahead of 1, <0 behind; d12 = length
+        at = np.arctan2(np.sin(d13) * np.cos(dt), np.cos(d13))
+        d23 = hav(p2, l2, p, l)
+        return np.where(at < 0, d13, np.where(at > d12, d23, xt)) * R
 
     schema = points.select(id_col, order_col, lat_col, lon_col).schema
 
@@ -274,33 +292,89 @@ def geotag_text_spans(docs: DataFrame) -> DataFrame:
     )
 
 
+def _span_fp_expr(spans_col):
+    """md5 over the ordered (kind, text, media_ref) sequence of a spans
+    array column. Printable separators so the identical expression is
+    writable in ANSI SQL (DuckDB oracle): span sep '|#|', field sep
+    '|,|', null sentinel '|0|'."""
+    return F.md5(
+        F.concat_ws(
+            "|#|",
+            F.transform(
+                spans_col,
+                lambda s: F.concat_ws(
+                    "|,|",
+                    F.coalesce(s["kind"], F.lit("|0|")),
+                    F.coalesce(s["text"], F.lit("|0|")),
+                    F.coalesce(s["media_ref"], F.lit("|0|")),
+                ),
+            ),
+        )
+    )
+
+
 def span_fingerprint(docs: DataFrame) -> DataFrame:
     """(doc_id, n_spans, span_fp) — md5 over the ordered
     (kind, text, media_ref) sequence. Two documents have equal
     fingerprints iff their span sequences are equal; this is the
     engine's span-sequence-equality verifier primitive.
     """
-    # printable separators so the identical expression is writable in
-    # ANSI SQL (DuckDB oracle): span sep '|#|', field sep '|,|',
-    # null sentinel '|0|'
     return docs.select(
         "doc_id",
         F.size("spans").alias("n_spans"),
-        F.md5(
-            F.concat_ws(
-                "|#|",
-                F.transform(
-                    "spans",
-                    lambda s: F.concat_ws(
-                        "|,|",
-                        F.coalesce(s["kind"], F.lit("|0|")),
-                        F.coalesce(s["text"], F.lit("|0|")),
-                        F.coalesce(s["media_ref"], F.lit("|0|")),
-                    ),
-                ),
-            )
-        ).alias("span_fp"),
+        _span_fp_expr("spans").alias("span_fp"),
     )
+
+
+def verify_roundtrip(docs: DataFrame) -> int:
+    """Single-pass explode->reassemble verification: count documents
+    whose reassembled span sequence differs from the original (must
+    be 0).
+
+    Unlike :func:`verify_span_sequence` (two independent relations,
+    hence two source scans), this computes the original fingerprint in
+    the projection of the SAME scan that feeds the explode, carries it
+    through the reassembly groupBy, and rebuilds the span array +
+    fingerprint inside that one aggregation — one scan, one shuffle,
+    no join.
+    """
+    # posexplode_OUTER: a doc with empty/null spans keeps one null row,
+    # whose rebuilt fingerprint cannot match — flagged as a roundtrip
+    # loss (a plain explode would silently skip such docs; the real
+    # explode->reassemble pipeline does lose them)
+    exploded = docs.select(
+        "doc_id",
+        _span_fp_expr("spans").alias("__orig_fp"),
+        F.posexplode_outer("spans").alias("span_idx", "span"),
+    )
+    rebuilt = (
+        exploded.groupBy("doc_id")
+        .agg(
+            F.first("__orig_fp").alias("__orig_fp"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "span_idx",
+                            F.col("span.kind").alias("kind"),
+                            F.col("span.text").alias("text"),
+                            F.col("span.media_ref").alias("media_ref"),
+                            F.col("span.offset").alias("offset"),
+                        )
+                    )
+                ),
+                lambda s: F.struct(
+                    s["kind"].alias("kind"),
+                    s["text"].alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                    s["offset"].alias("offset"),
+                ),
+            ).alias("spans"),
+        )
+    )
+    return rebuilt.filter(
+        _span_fp_expr("spans") != F.col("__orig_fp")
+    ).count()
 
 
 def verify_span_sequence(original: DataFrame, roundtripped: DataFrame) -> int:

@@ -239,3 +239,46 @@ class TestSimplifyPath:
                     area = max(s * (s - d_a) * (s - d_b) * (s - chord), 0.0) ** 0.5
                     alt = 2 * area / max(chord, 1e-9)
                     assert alt <= eps * 1.1, (d, i, alt)
+
+    def test_doubling_back_point_survives(self, spark):
+        # segment-clamped metric regression (round-3 advice): a path
+        # that doubles back — (0,0)->(0,5)->(0,0.001) — has its middle
+        # point 555 km from the SEGMENT endpoints even though its raw
+        # cross-track vs the infinite great circle is ~0, so DP must
+        # keep it at any reasonable epsilon
+        from geodistpy_spark.sources import simplify_path
+
+        df = spark.createDataFrame(
+            [("d", 0, 0.0, 0.0), ("d", 1, 0.0, 5.0), ("d", 2, 0.0, 0.001)],
+            "doc_id string, span_idx long, lat double, lon double")
+        out = simplify_path(df, epsilon_m=100.0).toPandas()
+        assert sorted(out.span_idx) == [0, 1, 2]
+
+    def test_matches_golden_kept_set(self, spark):
+        # committed independent scalar-DP golden over the fixture docs
+        import pyspark.sql.functions as F
+
+        from geodistpy_spark.sources import simplify_path
+        from geodistpy_spark.sources.documents import extract_geo_spans
+        from geodistpy_spark.sources.fixtures import ensure_default_fixtures
+
+        ensure_default_fixtures()
+        docs = spark.read.parquet("fixtures/documents_interleaved.parquet")
+        eng = simplify_path(extract_geo_spans(docs), epsilon_m=10_000.0) \
+            .select("doc_id", F.col("span_idx").cast("long").alias("span_idx"))
+        gold = spark.read.parquet("fixtures/golden/simplify.parquet")
+        assert eng.exceptAll(gold).count() == 0
+        assert gold.exceptAll(eng).count() == 0
+
+
+class TestVerifyRoundtrip:
+    def test_single_pass_clean_and_flagged(self, spark):
+        from geodistpy_spark.sources.documents import verify_roundtrip
+        from geodistpy_spark.sources.fixtures import ensure_default_fixtures
+
+        ensure_default_fixtures()
+        docs = spark.read.parquet("fixtures/documents_interleaved.parquet")
+        assert verify_roundtrip(docs.limit(200)) == 0
+        # empty spans cannot survive explode->reassemble: flagged
+        empty = spark.createDataFrame([("e", [])], schema=docs.schema)
+        assert verify_roundtrip(empty) == 1
