@@ -41,6 +41,7 @@ if _REPO not in sys.path:
 
 FIXTURE_DOCS = os.path.join(_REPO, "fixtures", "documents_interleaved.parquet")
 FIXTURE_GOLDEN = os.path.join(_REPO, "fixtures", "golden")
+FIXTURE_ANN = os.path.join(_REPO, "fixtures", "ann")
 
 # gate bars for the golden-fixture value checks (fixtures/golden/META.json
 # records the observed kernel-vs-truth errors: >=2x margin under each bar)
@@ -360,6 +361,113 @@ def _emb_near_pairs_sql() -> str:
         "FROM cand JOIN c c1 ON c1.vec_id = cand.id_1 JOIN c c2 ON c2.vec_id = cand.id_2) "
         "SELECT id_1, id_2, round(cosine, 6) AS cos_r FROM withv WHERE cosine >= 3e-1"
     )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """Exact cosine between two DOUBLE[] expressions — the same
+    sequential multiply-add fold as the engine's _dot/_norm column math
+    (textops/ann.py:25-32)."""
+    return (f"list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))")
+
+
+# shared CTE prefixes for the ANN oracles: e = corpus as DOUBLE[],
+# q = driver query vectors, asg = IVF nearest-centroid assignment over
+# the committed fixture, enc = PQ codes over the committed codebooks
+# (normalization mirrors the engine: x / max(||v||, 1e-12)).
+
+def _ann_e_q() -> str:
+    return (
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5)"
+    )
+
+
+def _ann_asg_sql() -> str:
+    return (
+        f"cents AS (SELECT cell, cv FROM read_parquet('{FIXTURE_ANN}/centroids.parquet')), "
+        "asg AS (SELECT vec_id, v, cell FROM ("
+        "SELECT e.vec_id, e.v, c.cell, row_number() OVER (PARTITION BY e.vec_id "
+        f"ORDER BY {_cos_sql('e.v', 'c.cv')} DESC, c.cell ASC) AS rn "
+        "FROM e, cents c) WHERE rn = 1)"
+    )
+
+
+def _ann_enc_sql() -> str:
+    norm = "greatest(sqrt(list_dot_product({0}, {0})), 1e-12)"
+    return (
+        f"books AS (SELECT j, c, cv FROM read_parquet('{FIXTURE_ANN}/codebooks.parquet')), "
+        f"en AS (SELECT vec_id, list_transform(v, x -> x / {norm.format('v')}) AS vn FROM e), "
+        "enc AS (SELECT vec_id, j, c FROM ("
+        "SELECT en.vec_id, b.j, b.c, row_number() OVER (PARTITION BY en.vec_id, b.j "
+        "ORDER BY list_distance(list_slice(en.vn, b.j * 8 + 1, b.j * 8 + 8), b.cv) ASC, "
+        "b.c ASC) AS rn FROM en, books b) WHERE rn = 1), "
+        f"qn AS (SELECT query_id, qv, list_transform(qv, x -> x / {norm.format('qv')}) AS nq FROM q)"
+    )
+
+
+def _ann_topk_sql(cand: str, k: int = 5) -> str:
+    """Exact cosine re-rank of a (query_id, vec_id) candidate relation."""
+    return (
+        f"cand AS (SELECT s.query_id, s.vec_id, {_cos_sql('e.v', 'q.qv')} AS cosine "
+        f"FROM ({cand}) s JOIN e ON e.vec_id = s.vec_id "
+        "JOIN q ON q.query_id = s.query_id) "
+        "SELECT query_id, vec_id, round(cosine, 6) AS cos_r, "
+        "CAST(rank AS BIGINT) AS rank FROM ("
+        "SELECT query_id, vec_id, cosine, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank "
+        f"FROM cand) WHERE rank <= {k}"
+    )
+
+
+def _ivf_sql() -> str:
+    probes = (
+        "probes AS (SELECT query_id, cell FROM ("
+        "SELECT q.query_id, c.cell, row_number() OVER (PARTITION BY q.query_id "
+        f"ORDER BY {_cos_sql('q.qv', 'c.cv')} DESC, c.cell ASC) AS rn "
+        "FROM q, cents c) WHERE rn <= 4)"
+    )
+    cand = ("SELECT p.query_id, a.vec_id FROM probes p "
+            "JOIN asg a ON a.cell = p.cell")
+    return (f"WITH {_ann_e_q()}, {_ann_asg_sql()}, {probes}, "
+            + _ann_topk_sql(cand))
+
+
+def _pq_sql() -> str:
+    adc = (
+        "adc AS (SELECT qn.query_id, enc.vec_id, "
+        "sum(list_dot_product(list_slice(qn.nq, enc.j * 8 + 1, enc.j * 8 + 8), b.cv)) AS adc "
+        "FROM enc JOIN books b ON b.j = enc.j AND b.c = enc.c, qn "
+        "GROUP BY qn.query_id, enc.vec_id)"
+    )
+    short = ("SELECT query_id, vec_id FROM ("
+             "SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id "
+             "ORDER BY adc DESC, vec_id ASC) AS rn FROM adc) WHERE rn <= 64")
+    return (f"WITH {_ann_e_q()}, {_ann_enc_sql()}, {adc}, "
+            + _ann_topk_sql(short))
+
+
+def _ivfpq_sql() -> str:
+    probes = (
+        "probes AS (SELECT query_id, cell FROM ("
+        "SELECT q.query_id, c.cell, row_number() OVER (PARTITION BY q.query_id "
+        f"ORDER BY {_cos_sql('q.qv', 'c.cv')} DESC, c.cell ASC) AS rn "
+        "FROM q, cents c) WHERE rn <= 4)"
+    )
+    adc = (
+        "adc AS (SELECT p.query_id, a.vec_id, "
+        "sum(list_dot_product(list_slice(qn.nq, enc.j * 8 + 1, enc.j * 8 + 8), b.cv)) AS adc "
+        "FROM probes p JOIN asg a ON a.cell = p.cell "
+        "JOIN enc ON enc.vec_id = a.vec_id "
+        "JOIN books b ON b.j = enc.j AND b.c = enc.c "
+        "JOIN qn ON qn.query_id = p.query_id "
+        "GROUP BY p.query_id, a.vec_id)"
+    )
+    short = ("SELECT query_id, vec_id FROM ("
+             "SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id "
+             "ORDER BY adc DESC, vec_id ASC) AS rn FROM adc) WHERE rn <= 64")
+    return (f"WITH {_ann_e_q()}, {_ann_asg_sql()}, {_ann_enc_sql()}, "
+            f"{probes}, {adc}, " + _ann_topk_sql(short))
 
 
 def _fixture_docs(spark: SparkSession) -> DataFrame:
@@ -935,13 +1043,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          F.col("height").cast("long").alias("height"), "n_bytes")
 
     def q_ivf_topk(spark, sf_dir):
+        # IVF over the COMMITTED centroid fixture (fixtures/ann,
+        # scripts/make_ann_fixtures.py): assignment -> probe -> exact
+        # cosine is deterministic given the fixture, so the DuckDB
+        # oracle mirrors the full path in SQL (value-gated since r4)
         from geodistpy_spark.textops import ivf_topk
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cents = spark.read.parquet(f"{FIXTURE_ANN}/centroids.parquet")
         q = emb.filter(F.col("vec_id") < 5).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
-        out = ivf_topk(emb, q, 5)
-        return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cos_r"))
+        out = ivf_topk(emb, q, 5, centroids=cents)
+        return out.select("query_id", "vec_id",
+                          F.round("cosine", 6).alias("cos_r"),
+                          F.col("rank").cast("long").alias("rank"))
 
     def q_geo_centroid(spark, sf_dir):
         # spherical centroid + dispersion per coarse cell (3D unit-vector
@@ -980,17 +1095,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_ivfpq_topk(spark, sf_dir):
-        # the production ANN composition (rows-only like ivf/pq: k-means
-        # seeding; recall gated in pytest)
-        from geodistpy_spark.textops import ivfpq_topk
+        # the production ANN composition over the committed centroid +
+        # codebook fixtures — assignment/probe (IVF) x ADC shortlist
+        # (PQ) x exact re-rank, all deterministic and SQL-mirrored
+        from geodistpy_spark.textops import codebooks_from_df, ivfpq_topk
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        dim = len(emb.first()["embedding"])
+        cents = spark.read.parquet(f"{FIXTURE_ANN}/centroids.parquet")
+        books = codebooks_from_df(
+            spark.read.parquet(f"{FIXTURE_ANN}/codebooks.parquet"))
         q = emb.filter(F.col("vec_id") < 5).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
-        out = ivfpq_topk(emb, q, 5, n_cells=8, n_probe=4,
-                         m=8 if dim % 8 == 0 else 4, shortlist=64)
-        return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cos_r"))
+        out = ivfpq_topk(emb, q, 5, n_probe=4, shortlist=64,
+                         centroids=cents, codebooks=books)
+        return out.select("query_id", "vec_id",
+                          F.round("cosine", 6).alias("cos_r"),
+                          F.col("rank").cast("long").alias("rank"))
 
     def q_buffer_rings(spark, sf_dir):
         # geofence construction: 50 km spherical buffer around every
@@ -1008,17 +1128,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_pq_topk(spark, sf_dir):
-        # product-quantized ANN with exact shortlist re-rank (rows-only:
-        # the codebooks come from k-means, not SQL-expressible; recall
-        # gated in pytest vs brute-force cosine)
-        from geodistpy_spark.textops import pq_topk
+        # product-quantized ANN over the committed codebook fixture:
+        # encode -> ADC shortlist -> exact re-rank, deterministic and
+        # fully SQL-mirrored (value-gated since r4)
+        from geodistpy_spark.textops import codebooks_from_df, pq_topk
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        dim = len(emb.first()["embedding"])
+        books = codebooks_from_df(
+            spark.read.parquet(f"{FIXTURE_ANN}/codebooks.parquet"))
         q = emb.filter(F.col("vec_id") < 5).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
-        out = pq_topk(emb, q, 5, m=8 if dim % 8 == 0 else 4, shortlist=64)
-        return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cos_r"))
+        out = pq_topk(emb, q, 5, shortlist=64, codebooks=books)
+        return out.select("query_id", "vec_id",
+                          F.round("cosine", 6).alias("cos_r"),
+                          F.col("rank").cast("long").alias("rank"))
 
     return {
         "haversine_pairs": q_haversine_pairs,
@@ -1462,6 +1585,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, vec_id, round(cosine, 6) AS cos_r, "
             "CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5"
         ),
+        # --- ANN trio: full SQL mirrors over the COMMITTED trained
+        # fixtures (fixtures/ann, scripts/make_ann_fixtures.py).
+        # assignment -> probe -> (ADC) -> exact re-rank is deterministic
+        # given the fixtures; both engines read the same parquet doubles
+        # and round cosines to 6dp (the proven embedding_topk pattern).
+        "ivf_topk": _ivf_sql(),
+        "pq_topk": _pq_sql(),
+        "ivfpq_topk": _ivfpq_sql(),
         "point_in_radius_gc": (
             f"SELECT cand_id, round({gc_o}, 0) AS dist_m FROM ({_CAND_SQL}) "
             f"WHERE {gc_o} <= 2e6"

@@ -88,7 +88,8 @@ def train_centroids(emb: DataFrame, n_cells: int, n_iters: int = 5,
 
 
 def build_ivf_index(emb: DataFrame, n_cells: int | None = 16,
-                    id_col: str = "vec_id", vec_col: str = "embedding"):
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    centroids: DataFrame | list | None = None):
     """IVF index build: k-means centroids (deterministic sampled Lloyd)
     + fully-distributed nearest-centroid assignment. Returns
     (centroids_df, assigned_df) where assigned has a ``cell`` column.
@@ -96,17 +97,31 @@ def build_ivf_index(emb: DataFrame, n_cells: int | None = 16,
     ``n_cells=None`` auto-scales to ~sqrt(N) (clamped to [8, 65536]) —
     the standard IVF sizing, so cells hold ~sqrt(N) vectors each and
     both the probe fan-out and per-cell scan grow as sqrt, not linearly.
+
+    ``centroids``: a pre-trained index — a DataFrame with (cell: long,
+    cv: array<double>) or a list of centroid vectors — skips training
+    entirely. This is the persistable-index path: train once (or load
+    the committed fixture), reuse across queries/jobs.
     """
     import math
 
     spark = emb.sparkSession
-    if n_cells is None:
-        n = emb.count()
-        n_cells = min(max(int(math.isqrt(max(n, 1))), 8), 65_536)
-    cvecs = train_centroids(emb, n_cells, id_col=id_col, vec_col=vec_col,
-                            sample_size=max(4096, 4 * n_cells))
-    cents = spark.createDataFrame(
-        [(i, v) for i, v in enumerate(cvecs)], "cell long, cv array<double>")
+    if centroids is not None:
+        if isinstance(centroids, DataFrame):
+            cents = centroids.select(F.col("cell").cast("long"),
+                                     F.col("cv").cast("array<double>"))
+        else:
+            cents = spark.createDataFrame(
+                [(i, [float(x) for x in v]) for i, v in enumerate(centroids)],
+                "cell long, cv array<double>")
+    else:
+        if n_cells is None:
+            n = emb.count()
+            n_cells = min(max(int(math.isqrt(max(n, 1))), 8), 65_536)
+        cvecs = train_centroids(emb, n_cells, id_col=id_col, vec_col=vec_col,
+                                sample_size=max(4096, 4 * n_cells))
+        cents = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(cvecs)], "cell long, cv array<double>")
     v = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     scored = v.crossJoin(F.broadcast(cents)).withColumn(
         "sim", _dot("v", "cv") / (_norm("v") * _norm("cv"))
@@ -173,7 +188,7 @@ def pq_encode(emb: DataFrame, codebooks, id_col: str = "vec_id",
     books = np.asarray(codebooks)
     m, ksub, dsub = books.shape
     schema = T.StructType([
-        T.StructField(id_col, T.LongType()),
+        T.StructField(id_col, emb.schema[id_col].dataType),
         T.StructField("codes", T.ArrayType(T.ShortType())),
     ])
 
@@ -196,11 +211,28 @@ def pq_encode(emb: DataFrame, codebooks, id_col: str = "vec_id",
     return src.mapInPandas(_enc, schema)
 
 
+def codebooks_from_df(df) -> "object":
+    """(j, c, cv) rows -> ndarray (m, 2**bits, dsub). Loads a committed
+    codebook fixture (e.g. fixtures/ann/codebooks.parquet) back into
+    the shape train_pq produces."""
+    import numpy as np
+
+    rows = df.select("j", "c", "cv").collect()
+    m = 1 + max(r["j"] for r in rows)
+    ksub = 1 + max(r["c"] for r in rows)
+    dsub = len(rows[0]["cv"])
+    books = np.zeros((m, ksub, dsub))
+    for r in rows:
+        books[r["j"], r["c"]] = np.asarray(r["cv"], dtype=float)
+    return books
+
+
 def pq_topk(emb: DataFrame, queries: DataFrame, k: int,
             m: int = 8, bits: int = 8, shortlist: int = 64,
             rerank: bool = True,
             id_col: str = "vec_id", vec_col: str = "embedding",
-            q_id: str = "query_id", q_vec: str = "q_vec") -> DataFrame:
+            q_id: str = "query_id", q_vec: str = "q_vec",
+            codebooks=None, codes: DataFrame | None = None) -> DataFrame:
     """Product-quantized approximate top-k: score every vector in the
     COMPRESSED domain (per-query lookup table of subspace partial dot
     products, gathered per code — no float vectors touched), keep a
@@ -210,11 +242,18 @@ def pq_topk(emb: DataFrame, queries: DataFrame, k: int,
     Output schema matches :func:`cosine_topk`. Queries are collected
     driver-side to build LUTs (the broadcast-small side by contract).
     Approximate by design — gate with a recall test, not equality.
+
+    ``codebooks`` (ndarray (m, 2**bits, dsub), the output of
+    :func:`train_pq` / :func:`codebooks_from_df`) and ``codes`` (the
+    output of :func:`pq_encode`) make the compressed index persistable:
+    train/encode once, reuse across calls — absent, both are built here.
     """
     import numpy as np
 
-    books = train_pq(emb, m, bits, id_col=id_col, vec_col=vec_col)
-    codes = pq_encode(emb, books, id_col, vec_col)
+    books = (np.asarray(codebooks) if codebooks is not None
+             else train_pq(emb, m, bits, id_col=id_col, vec_col=vec_col))
+    if codes is None:
+        codes = pq_encode(emb, books, id_col, vec_col)
 
     qrows = queries.select(
         F.col(q_id), F.col(q_vec).cast("array<double>").alias("qv")).collect()
@@ -226,7 +265,7 @@ def pq_topk(emb: DataFrame, queries: DataFrame, k: int,
     lut = np.einsum("qjd,jcd->qjc", Q.reshape(len(Q), mm, dsub), books)
 
     out_schema = T.StructType([
-        T.StructField(id_col, T.LongType()),
+        T.StructField(id_col, emb.schema[id_col].dataType),
         T.StructField("__qidx", T.IntegerType()),
         T.StructField("adc", T.DoubleType()),
     ])
@@ -282,7 +321,9 @@ def ivfpq_topk(emb: DataFrame, queries: DataFrame, k: int,
                n_cells: int | None = 16, n_probe: int = 4,
                m: int = 8, bits: int = 8, shortlist: int = 64,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               q_id: str = "query_id", q_vec: str = "q_vec") -> DataFrame:
+               q_id: str = "query_id", q_vec: str = "q_vec",
+               centroids=None, codebooks=None,
+               codes: DataFrame | None = None) -> DataFrame:
     """IVF x PQ — the production ANN composition: IVF prunes WHICH
     vectors each query scores (top-``n_probe`` cells only), PQ
     compresses WHAT that scan reads (m one-byte codes per vector), and
@@ -291,14 +332,19 @@ def ivfpq_topk(emb: DataFrame, queries: DataFrame, k: int,
     candidate count and bytes-per-candidate.
 
     Output schema matches :func:`cosine_topk`; approximate by design —
-    recall-gated, not equality-gated.
+    recall-gated, not equality-gated. ``centroids`` / ``codebooks`` /
+    ``codes`` accept a pre-trained persistable index (see
+    :func:`build_ivf_index` / :func:`pq_topk`).
     """
     import numpy as np
 
-    cents, assigned = build_ivf_index(emb, n_cells, id_col, vec_col)
-    books = train_pq(emb, m, bits, id_col=id_col, vec_col=vec_col)
-    codes = pq_encode(emb, books, id_col, vec_col).join(
-        assigned.select(id_col, "cell"), on=id_col)
+    cents, assigned = build_ivf_index(emb, n_cells, id_col, vec_col,
+                                      centroids=centroids)
+    books = (np.asarray(codebooks) if codebooks is not None
+             else train_pq(emb, m, bits, id_col=id_col, vec_col=vec_col))
+    if codes is None:
+        codes = pq_encode(emb, books, id_col, vec_col)
+    codes = codes.join(assigned.select(id_col, "cell"), on=id_col)
 
     qrows = queries.select(
         F.col(q_id), F.col(q_vec).cast("array<double>").alias("qv")).collect()
@@ -325,7 +371,7 @@ def ivfpq_topk(emb: DataFrame, queries: DataFrame, k: int,
               .select("__qidx", "cell"))
 
     out_schema = T.StructType([
-        T.StructField(id_col, T.LongType()),
+        T.StructField(id_col, emb.schema[id_col].dataType),
         T.StructField("__qidx", T.IntegerType()),
         T.StructField("adc", T.DoubleType()),
     ])
@@ -375,13 +421,16 @@ def ivfpq_topk(emb: DataFrame, queries: DataFrame, k: int,
 def ivf_topk(emb: DataFrame, queries: DataFrame, k: int,
              n_cells: int | None = 16,
              n_probe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
-             q_id: str = "query_id", q_vec: str = "q_vec") -> DataFrame:
+             q_id: str = "query_id", q_vec: str = "q_vec",
+             centroids=None) -> DataFrame:
     """IVF-bucketed approximate top-k: probe only the n_probe cells whose
     centroids are most similar to the query; exact cosine within probed
     cells. Candidate work drops ~n_cells/n_probe-fold vs brute force.
-    ``n_cells=None`` auto-scales to ~sqrt(N) (see build_ivf_index).
+    ``n_cells=None`` auto-scales to ~sqrt(N) (see build_ivf_index);
+    ``centroids`` loads a pre-trained index (see build_ivf_index).
     """
-    cents, assigned = build_ivf_index(emb, n_cells, id_col, vec_col)
+    cents, assigned = build_ivf_index(emb, n_cells, id_col, vec_col,
+                                      centroids=centroids)
     q = queries.select(F.col(q_id), F.col(q_vec).cast("array<double>").alias("qv"))
     qc = q.crossJoin(F.broadcast(cents)).withColumn(
         "csim", _dot("qv", "cv") / (_norm("qv") * _norm("cv"))

@@ -623,3 +623,58 @@ class TestIvfPq:
         for qi in range(8):  # self-hit survives IVF + PQ + re-rank
             assert qi in set(got[got.query_id == qi].vec_id)
         assert (got.groupby("query_id").vec_id.count() <= 5).all()
+
+
+class TestAnnFixtures:
+    def test_fixture_index_matches_fresh_training(self, spark):
+        # the committed centroid/codebook fixtures must reproduce the
+        # trained-inline results exactly (training is deterministic)
+        from geodistpy_spark.textops import (
+            codebooks_from_df, ivf_topk, pq_topk)
+
+        emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
+        cents = spark.read.parquet("fixtures/ann/centroids.parquet")
+        books = codebooks_from_df(
+            spark.read.parquet("fixtures/ann/codebooks.parquet"))
+
+        fresh = ivf_topk(emb, q, 5, n_cells=16).toPandas()
+        fixed = ivf_topk(emb, q, 5, centroids=cents).toPandas()
+        assert sorted(map(tuple, fresh[["query_id", "vec_id", "rank"]].values)) \
+            == sorted(map(tuple, fixed[["query_id", "vec_id", "rank"]].values))
+
+        fresh_pq = pq_topk(emb, q, 5, m=8, shortlist=32).toPandas()
+        fixed_pq = pq_topk(emb, q, 5, shortlist=32, codebooks=books).toPandas()
+        assert sorted(map(tuple, fresh_pq[["query_id", "vec_id", "rank"]].values)) \
+            == sorted(map(tuple, fixed_pq[["query_id", "vec_id", "rank"]].values))
+
+    def test_pq_string_id_column(self, spark):
+        # id dtype is derived from the input schema (round-3 advice:
+        # LongType was hardcoded and broke string ids)
+        from geodistpy_spark.textops import pq_topk
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+            .select(F.concat(F.lit("v"), F.col("vec_id")).alias("vec_id"),
+                    "embedding")
+        q = emb.filter(F.col("vec_id").isin("v0", "v1")).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
+        out = pq_topk(emb, q, 3, m=8, shortlist=16).toPandas()
+        assert set(out.query_id) == {"v0", "v1"}
+        assert out.vec_id.map(lambda s: s.startswith("v")).all()
+
+    def test_pq_precomputed_codes_reused(self, spark):
+        # codes= skips re-encoding and returns identical results
+        from geodistpy_spark.textops import (
+            codebooks_from_df, pq_encode, pq_topk)
+
+        emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        books = codebooks_from_df(
+            spark.read.parquet("fixtures/ann/codebooks.parquet"))
+        codes = pq_encode(emb, books)
+        q = emb.filter(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
+        a = pq_topk(emb, q, 4, codebooks=books).toPandas()
+        b = pq_topk(emb, q, 4, codebooks=books, codes=codes).toPandas()
+        assert sorted(map(tuple, a[["query_id", "vec_id", "rank"]].values)) \
+            == sorted(map(tuple, b[["query_id", "vec_id", "rank"]].values))
