@@ -556,32 +556,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     # --- geo: closed-form (oracle-checked) -----------------------------
-    def q_haversine_pairs(spark, sf_dir):
-        df = _pair_points(spark, sf_dir)
-        return df.select(
-            "id", _r0(haversine_m("lat1", "lon1", "lat2", "lon2")).alias("hav_m"))
-
-    def q_greatcircle_pairs(spark, sf_dir):
-        df = _pair_points(spark, sf_dir)
-        return df.select(
-            "id", _r0(great_circle_m("lat1", "lon1", "lat2", "lon2")).alias("gc_m"))
-
-    def q_distance_units(spark, sf_dir):
+    # NOTE (r4): the roster is consolidated to fit the driver's ~50-row
+    # correctness budget — redundant single-function variants are merged
+    # into one query each, with EVERY underlying operator still exercised
+    # and value-gated (e.g. sphere_pairs carries haversine + great-circle
+    # + unit conversion + bearing columns on the same pair relation).
+    def q_sphere_pairs(spark, sf_dir):
+        # haversine_m + great_circle_m + to_unit + bearing_sphere_deg in
+        # one pair relation (was 4 separate r3 queries)
         from geodistpy_spark.functions.expressions import to_unit
 
         df = _pair_points(spark, sf_dir)
         d = great_circle_m("lat1", "lon1", "lat2", "lon2")
         return df.select(
             "id",
+            _r0(haversine_m("lat1", "lon1", "lat2", "lon2")).alias("hav_m"),
+            _r0(d).alias("gc_m"),
             F.round(to_unit(d, "km"), 3).cast("double").alias("gc_km"),
             F.round(to_unit(d, "mile"), 3).cast("double").alias("gc_mile"),
             F.round(to_unit(d, "nmi"), 3).cast("double").alias("gc_nmi"),
-        )
-
-    def q_bearing_sphere(spark, sf_dir):
-        df = _pair_points(spark, sf_dir)
-        return df.select(
-            "id",
             F.round(bearing_sphere_deg("lat1", "lon1", "lat2", "lon2"), 6)
             .cast("double").alias("brg_deg"),
         )
@@ -591,20 +584,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = geodist_to_many(cands, (48.8566, 2.3522), exact=False)
         return out.select("cand_id", _r0(F.col("dist")).alias("dist_m"))
 
-    def q_cell_index_counts(spark, sf_dir):
-        cands = _cand_points(spark, sf_dir)
-        return (
-            cands.withColumn("cell", cell_id_col("lat", "lon", 7))
-            .groupBy("cell").agg(F.count("*").alias("n"))
-        )
-
-    def q_cell_rollup(spark, sf_dir):
-        cands = _cand_points(spark, sf_dir)
-        return (
-            cands.withColumn("cell", cell_id_col("lat", "lon", 7))
-            .withColumn("parent", parent_cell_col("cell", 7, 4))
+    def q_cell_index_rollup(spark, sf_dir):
+        # cell index counts at res 7 + parent rollup to res 4, one query
+        # (was cell_index_counts + cell_rollup), grain-tagged union
+        cands = _cand_points(spark, sf_dir).withColumn(
+            "cell", cell_id_col("lat", "lon", 7))
+        leaf = cands.groupBy("cell").agg(F.count("*").alias("n")) \
+            .select(F.lit("cell").alias("grain"), F.col("cell").alias("key"), "n")
+        parent = (
+            cands.withColumn("parent", parent_cell_col("cell", 7, 4))
             .groupBy("parent").agg(F.count("*").alias("n"))
+            .select(F.lit("parent").alias("grain"),
+                    F.col("parent").alias("key"), "n")
         )
+        return leaf.unionByName(parent)
 
     def q_matrix_gc(spark, sf_dir):
         q = _query_points(spark, sf_dir).select(
@@ -614,9 +607,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return m.select("id_1", "id_2", _r0(F.col("dist")).alias("dist_m"))
 
     def q_radius_join_gc(spark, sf_dir):
+        # many-to-many radius join + the single-center point_in_radius
+        # operator (query_id = -1 rows), one query (was 2 in r3)
+        from geodistpy_spark.operators import point_in_radius
+
         rj = radius_join(_query_points(spark, sf_dir), _cand_points(spark, sf_dir),
                          1_500_000.0, c_lat="lat", c_lon="lon", exact=False)
-        return rj.select("query_id", "cand_id", _r0(F.col("dist")).alias("dist_m"))
+        pir = point_in_radius(_cand_points(spark, sf_dir), (48.8566, 2.3522),
+                              2_000_000.0, exact=False)
+        return rj.select("query_id", "cand_id",
+                         _r0(F.col("dist")).alias("dist_m")) \
+            .unionByName(pir.select(
+                F.lit(-1).cast("long").alias("query_id"), "cand_id",
+                _r0(F.col("dist")).alias("dist_m")))
 
     def q_knn_gc(spark, sf_dir):
         kj = knn_join(_query_points(spark, sf_dir), _cand_points(spark, sf_dir),
@@ -752,12 +755,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return span_fingerprint(docs).select(
             "doc_id", F.col("n_spans").cast("long").alias("n_spans"), "span_fp")
 
-    def q_media_span_meta(spark, sf_dir):
-        docs = _fixture_docs(spark)
-        m = extract_media_spans(docs)
-        return m.select("doc_id", F.col("span_idx").cast("long").alias("span_idx"),
-                        "media_key")
-
     def q_geotag_spans(spark, sf_dir):
         from geodistpy_spark.sources.documents import geotag_text_spans
 
@@ -825,9 +822,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return minhash_signatures(_flat_docs(spark, sf_dir))
 
-    def q_lsh_pairs(spark, sf_dir):
-        return lsh_candidate_pairs(_flat_docs(spark, sf_dir))
-
     def q_lsh_pairs_capped(spark, sf_dir):
         # hot-band cap engaged (drops the fixture's size-3 buckets):
         # gates the scale guard's semantics, not just the uncapped path
@@ -841,9 +835,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_simhash(spark, sf_dir):
         return simhash(_flat_docs(spark, sf_dir))
 
-    def q_token_quality(spark, sf_dir):
-        qs = quality_score(_flat_docs(spark, sf_dir))
-        return qs.select(
+    def q_text_quality(spark, sf_dir):
+        # quality_score + language_id joined per doc (was 2 r3 queries)
+        docs = _flat_docs(spark, sf_dir)
+        qs = quality_score(docs).select(
             "doc_id",
             F.col("n_tokens").cast("long").alias("n_tokens"),
             F.col("n_chars").cast("long").alias("nch"),
@@ -851,26 +846,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("stopword_ratio", 6).alias("stop_r"),
             F.round("quality", 6).alias("q"),
         )
+        lid = language_id(docs).select("doc_id", "lang_pred")
+        return qs.join(lid, on="doc_id")
 
-    def q_trigram_logprob(spark, sf_dir):
-        from geodistpy_spark.textops import trigram_logprob
+    def q_text_lm(spark, sf_dir):
+        # token_count_bpe + trigram_logprob joined per doc (was 2)
+        from geodistpy_spark.textops import token_count_bpe, trigram_logprob
 
-        out = trigram_logprob(_flat_docs(spark, sf_dir))
-        return out.select("doc_id", F.round("tri_logprob", 6).alias("tri_lp"))
+        docs = _flat_docs(spark, sf_dir)
+        bpe = token_count_bpe(docs).select(
+            "doc_id", F.col("n_tokens_bpe").cast("long").alias("n_bpe"))
+        tri = trigram_logprob(docs).select(
+            "doc_id", F.round("tri_logprob", 6).alias("tri_lp"))
+        return bpe.join(tri, on="doc_id")
 
-    def q_bpe_tokens(spark, sf_dir):
-        from geodistpy_spark.textops import token_count_bpe
+    def q_fingerprints(spark, sf_dir):
+        # whole-doc fingerprint + rolling winnowed fingerprints (left
+        # join keeps docs whose rolling selection is empty; was 2)
+        from geodistpy_spark.textops import rolling_fingerprints
 
-        out = token_count_bpe(_flat_docs(spark, sf_dir))
-        return out.select("doc_id", F.col("n_tokens_bpe").cast("long").alias("n_bpe"))
-
-    def q_language_id(spark, sf_dir):
-        out = language_id(_flat_docs(spark, sf_dir))
-        return out.select("doc_id", "lang_pred")
-
-    def q_doc_fingerprint(spark, sf_dir):
-        out = doc_fingerprint(_flat_docs(spark, sf_dir))
-        return out.select("doc_id", "fingerprint")
+        docs = _flat_docs(spark, sf_dir)
+        whole = doc_fingerprint(docs).select("doc_id", "fingerprint")
+        roll = rolling_fingerprints(docs)
+        return whole.join(roll, on="doc_id", how="left")
 
     def q_contamination(spark, sf_dir):
         # benchmark decontamination: docs sharing a word 5-gram with the
@@ -933,13 +931,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("user_id", "n_events", F.col("n_sessions").cast("long").alias("n_sessions"))
 
-    def q_point_in_radius_gc(spark, sf_dir):
-        from geodistpy_spark.operators import point_in_radius
-
-        hits = point_in_radius(_cand_points(spark, sf_dir), (48.8566, 2.3522),
-                               2_000_000.0, exact=False)
-        return hits.select("cand_id", _r0(F.col("dist")).alias("dist_m"))
-
     def q_radius_join_salted(spark, sf_dir):
         rj = radius_join(_query_points(spark, sf_dir), _cand_points(spark, sf_dir),
                          800_000.0, c_lat="lat", c_lon="lon", exact=False, salt=4)
@@ -952,33 +943,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("id_1", "id_2", F.col("hamming").cast("long").alias("hamming"))
 
     def q_dimwise(spark, sf_dir):
-        # exact=False (great-circle) so the driver can oracle-check the
-        # full relation; the Vincenty kernel path is gated separately by
-        # vincenty_pairs + the pytest golden-truth table
-        from geodistpy_spark.operators import geodist_dimwise
+        # geodist_dimwise + geodist_dimwise_haversine joined on the pair
+        # ids (was 2 r3 queries). exact=False (great-circle) so the
+        # driver can oracle-check the full relation; the Vincenty kernel
+        # path is gated separately by vincenty_pairs + the pytest
+        # golden-truth table. Haversine squares reported as sqrt meters:
+        # the squared values reach 4e14, where JVM vs libm trig ulp
+        # differences exceed integer rounding.
+        from geodistpy_spark.operators import (
+            geodist_dimwise, geodist_dimwise_haversine)
 
         q = _query_points(spark, sf_dir).select(
             F.col("query_id").alias("id"), F.col("q_lat").alias("lat"),
             F.col("q_lon").alias("lon"),
             (F.col("query_id") % 7).cast("double").alias("feat"))
-        out = geodist_dimwise(q, "id", "lat", "lon", ["feat"], exact=False)
-        return out.select("id_1", "id_2", _r0(F.col("dist_m")).alias("dist_m"), "d_feat")
-
-    def q_dimwise_haversine(spark, sf_dir):
-        from geodistpy_spark.operators import geodist_dimwise_haversine
-
-        q = _query_points(spark, sf_dir).select(
-            F.col("query_id").alias("id"), F.col("q_lat").alias("lat"),
-            F.col("q_lon").alias("lon"),
-            (F.col("query_id") % 7).cast("double").alias("feat"))
-        out = geodist_dimwise_haversine(q, "id", "lat", "lon", ["feat"])
-        # report sqrt meters: the squared values reach 4e14, where JVM vs
-        # libm trig ulp differences exceed integer rounding
-        return out.select(
-            "id_1", "id_2",
-            _r0(F.sqrt("sq_lat")).alias("hv_lat_m"),
-            _r0(F.sqrt("sq_lon")).alias("hv_lon_m"),
-            _r0(F.sqrt("sq_feat")).alias("d_feat_abs"))
+        out = geodist_dimwise(q, "id", "lat", "lon", ["feat"], exact=False) \
+            .select("id_1", "id_2", _r0(F.col("dist_m")).alias("dist_m"), "d_feat")
+        hv = geodist_dimwise_haversine(q, "id", "lat", "lon", ["feat"]) \
+            .select("id_1", "id_2",
+                    _r0(F.sqrt("sq_lat")).alias("hv_lat_m"),
+                    _r0(F.sqrt("sq_lon")).alias("hv_lon_m"),
+                    _r0(F.sqrt("sq_feat")).alias("d_feat_abs"))
+        return out.join(hv, on=["id_1", "id_2"])
 
     def q_embedding_near_pairs(spark, sf_dir):
         from geodistpy_spark.textops import embedding_near_pairs
@@ -987,11 +973,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = embedding_near_pairs(emb, threshold=0.3, n_bands=_EMB_BANDS,
                                    band_bits=_EMB_BITS, seed=_EMB_SEED)
         return out.select("id_1", "id_2", F.round("cosine", 6).alias("cos_r"))
-
-    def q_rolling_fingerprints(spark, sf_dir):
-        from geodistpy_spark.textops import rolling_fingerprints
-
-        return rolling_fingerprints(_flat_docs(spark, sf_dir))
 
     def q_near_dup_groups(spark, sf_dir):
         from geodistpy_spark.textops import near_dup_groups
@@ -1033,14 +1014,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- multimodal + ANN scale path (rows-only) -----------------------
     def q_media_features(spark, sf_dir):
+        # decode features + parsed span metadata (media_key) in one
+        # relation (absorbed r3's media_span_meta)
         from geodistpy_spark.textops import media_feature_pipeline
 
         docs = _fixture_docs(spark)
         mf = media_feature_pipeline(docs)
+        meta = extract_media_spans(docs).select(
+            "doc_id", F.col("span_idx").cast("long").alias("span_idx"),
+            "media_key")
         return mf.select("doc_id", F.col("span_idx").cast("long").alias("span_idx"),
                          "format",
                          F.col("width").cast("long").alias("width"),
-                         F.col("height").cast("long").alias("height"), "n_bytes")
+                         F.col("height").cast("long").alias("height"), "n_bytes") \
+            .join(meta, on=["doc_id", "span_idx"])
 
     def q_ivf_topk(spark, sf_dir):
         # IVF over the COMMITTED centroid fixture (fixtures/ann,
@@ -1058,41 +1045,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.round("cosine", 6).alias("cos_r"),
                           F.col("rank").cast("long").alias("rank"))
 
-    def q_geo_centroid(spark, sf_dir):
-        # spherical centroid + dispersion per coarse cell (3D unit-vector
-        # mean — antimeridian/pole safe, unlike naive lat/lon averaging)
+    def q_geo_summary(spark, sf_dir):
+        # spherical centroid + dispersion (3D unit-vector mean) AND
+        # antimeridian-aware bbox (largest-gap circular lon interval)
+        # per coarse cell, joined (was geo_centroid + geo_bbox in r3)
         from geodistpy_spark.functions.expressions import cell_id_col
-        from geodistpy_spark.operators import geo_centroid
+        from geodistpy_spark.operators import geo_bbox, geo_centroid
 
         pts = _cand_points(spark, sf_dir).withColumn(
             "cell", cell_id_col("lat", "lon", 3))
-        out = geo_centroid(pts, "cell")
-        return out.select(
+        cen = geo_centroid(pts, "cell").select(
             F.col("cell").cast("long").alias("cell"),
             F.col("n_points").cast("long").alias("n_points"),
             F.round("c_lat", 6).alias("c_lat6"),
             F.round("c_lon", 6).alias("c_lon6"),
             F.round("resultant", 6).alias("resultant6"),
         )
-
-    def q_geo_bbox(spark, sf_dir):
-        # antimeridian-aware bbox per coarse cell (minimal circular
-        # longitude interval via largest-gap complement)
-        from geodistpy_spark.functions.expressions import cell_id_col
-        from geodistpy_spark.operators import geo_bbox
-
-        pts = _cand_points(spark, sf_dir).withColumn(
-            "cell", cell_id_col("lat", "lon", 3))
-        out = geo_bbox(pts, "cell")
-        return out.select(
+        box = geo_bbox(pts, "cell").select(
             F.col("cell").cast("long").alias("cell"),
-            F.col("n_points").cast("long").alias("n_points"),
             F.round("lat_min", 6).alias("lat_min6"),
             F.round("lat_max", 6).alias("lat_max6"),
             F.round("lon_west", 6).alias("lon_west6"),
             F.round("lon_east", 6).alias("lon_east6"),
             F.round("lon_width", 6).alias("lon_width6"),
         )
+        return cen.join(box, on="cell")
 
     def q_ivfpq_topk(spark, sf_dir):
         # the production ANN composition over the committed centroid +
@@ -1143,14 +1120,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.round("cosine", 6).alias("cos_r"),
                           F.col("rank").cast("long").alias("rank"))
 
+    # 50 queries exactly — sized to the driver's correctness-file budget
+    # so EVERY operator gets a fresh driver row each round (r3 had 62
+    # registered / 50 checked; redundant variants are merged above)
     return {
-        "haversine_pairs": q_haversine_pairs,
-        "greatcircle_pairs": q_greatcircle_pairs,
-        "distance_units": q_distance_units,
-        "bearing_sphere": q_bearing_sphere,
+        "sphere_pairs": q_sphere_pairs,
         "geodist_to_many_gc": q_geodist_to_many_gc,
-        "cell_index_counts": q_cell_index_counts,
-        "cell_rollup": q_cell_rollup,
+        "cell_index_rollup": q_cell_index_rollup,
         "matrix_gc": q_matrix_gc,
         "radius_join_gc": q_radius_join_gc,
         "knn_gc": q_knn_gc,
@@ -1166,22 +1142,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": q_zonal_stats,
         "span_geo_extract": q_span_geo_extract,
         "span_fingerprint": q_span_fingerprint,
-        "media_span_meta": q_media_span_meta,
         "doc_cell_histogram": q_doc_cell_histogram,
         "span_path": q_span_path,
         "simplify_path": q_simplify_path,
         "geotag_spans": q_geotag_spans,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
-        "lsh_pairs": q_lsh_pairs,
         "lsh_pairs_capped": q_lsh_pairs_capped,
         "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
-        "token_quality": q_token_quality,
-        "bpe_tokens": q_bpe_tokens,
-        "trigram_logprob": q_trigram_logprob,
-        "language_id": q_language_id,
-        "doc_fingerprint": q_doc_fingerprint,
+        "text_quality": q_text_quality,
+        "text_lm": q_text_lm,
+        "fingerprints": q_fingerprints,
         "embedding_topk": q_embedding_topk,
         "contamination": q_contamination,
         "hash_split": q_hash_split,
@@ -1193,15 +1165,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
         "buffer_rings": q_buffer_rings,
-        "geo_centroid": q_geo_centroid,
-        "geo_bbox": q_geo_bbox,
-        "point_in_radius_gc": q_point_in_radius_gc,
+        "geo_summary": q_geo_summary,
         "radius_join_salted": q_radius_join_salted,
         "simhash_near_pairs": q_simhash_near_pairs,
         "dimwise": q_dimwise,
-        "dimwise_haversine": q_dimwise_haversine,
         "embedding_near_pairs": q_embedding_near_pairs,
-        "rolling_fingerprints": q_rolling_fingerprints,
         "near_dup_groups": q_near_dup_groups,
         "asof_join": q_asof_join,
         "adaptive_index": q_adaptive_index,
@@ -1280,24 +1248,23 @@ def oracle_sql() -> dict[str, str]:
     )
 
     return {
-        "haversine_pairs": f"SELECT id, round({hav}, 0) AS hav_m FROM ({_PAIR_SQL})",
-        "greatcircle_pairs": f"SELECT id, round({gc}, 0) AS gc_m FROM ({_PAIR_SQL})",
-        "distance_units": (
-            f"SELECT id, round(({gc}) * 1e-3, 3) AS gc_km, "
+        "sphere_pairs": (
+            f"SELECT id, round({hav}, 0) AS hav_m, round({gc}, 0) AS gc_m, "
+            f"round(({gc}) * 1e-3, 3) AS gc_km, "
             f"round(({gc}) * 6.213711922373339e-4, 3) AS gc_mile, "
-            f"round(({gc}) * 5.399568034557235e-4, 3) AS gc_nmi FROM ({_PAIR_SQL})"
+            f"round(({gc}) * 5.399568034557235e-4, 3) AS gc_nmi, "
+            f"round({brg}, 6) AS brg_deg FROM ({_PAIR_SQL})"
         ),
-        "bearing_sphere": f"SELECT id, round({brg}, 6) AS brg_deg FROM ({_PAIR_SQL})",
         "geodist_to_many_gc": (
             f"SELECT cand_id, round({gc_o}, 0) AS dist_m FROM ({_CAND_SQL})"
         ),
-        "cell_index_counts": (
-            f"SELECT {cell7} AS cell, count(*) AS n FROM ({_CAND_SQL}) GROUP BY 1"
-        ),
-        "cell_rollup": (
+        "cell_index_rollup": (
             f"WITH cells AS (SELECT {cell7} AS cell FROM ({_CAND_SQL})) "
-            "SELECT ((cell // 128) // 8) * 16 + ((cell % 128) // 8) AS parent, "
-            "count(*) AS n FROM cells GROUP BY 1"
+            "SELECT 'cell' AS grain, cell AS key, count(*) AS n FROM cells GROUP BY 2 "
+            "UNION ALL "
+            "SELECT 'parent' AS grain, "
+            "((cell // 128) // 8) * 16 + ((cell % 128) // 8) AS key, "
+            "count(*) AS n FROM cells GROUP BY 2"
         ),
         "matrix_gc": (
             f"SELECT a.query_id AS id_1, b.query_id AS id_2, round({gc_m}, 0) AS dist_m "
@@ -1307,7 +1274,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "radius_join_gc": (
             f"SELECT q.query_id, c.cand_id, round({gc_q}, 0) AS dist_m "
-            f"FROM ({_QRY_SQL}) q, ({_CAND_SQL}) c WHERE {gc_q} <= 1.5e6"
+            f"FROM ({_QRY_SQL}) q, ({_CAND_SQL}) c WHERE {gc_q} <= 1.5e6 "
+            "UNION ALL "
+            f"SELECT CAST(-1 AS BIGINT) AS query_id, cand_id, "
+            f"round({gc_o}, 0) AS dist_m FROM ({_CAND_SQL}) WHERE {gc_o} <= 2e6"
         ),
         "knn_gc": (
             f"WITH d AS (SELECT q.query_id, c.cand_id, {gc_q} AS dm "
@@ -1368,11 +1338,6 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(x.kind, '|0|'), coalesce(x.text, '|0|'), "
             f"coalesce(x.media_ref, '|0|'))), '|#|')) AS span_fp FROM {fx}"
         ),
-        "media_span_meta": (
-            f"{span_cte} SELECT doc_id, span_idx, "
-            "split_part(span.media_ref, '://', 2) AS media_key "
-            "FROM s WHERE span.kind = 'media'"
-        ),
         # interleaved-payload geotag: DuckDB's native ASOF JOIN per doc
         # over span offsets, independent of the engine's window plan
         "geotag_spans": (
@@ -1419,27 +1384,23 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": (
             f"{_minhash_cte()} SELECT * FROM sig"
         ),
-        "lsh_pairs": _lsh_pairs_sql(),
         # 3D unit-vector mean per coarse cell; 6dp rounding absorbs
         # summation-order and trig ulp noise
-        "geo_centroid": (
+        # spherical centroid (3D unit-vector mean) + antimeridian-aware
+        # bbox (largest-gap complement over distinct lons), joined per
+        # cell (merged r4; identical window + arithmetic both engines)
+        "geo_summary": (
             f"WITH pts AS ({_CAND_SQL}), "
-            f"c AS (SELECT {_cell_sql('lat', 'lon', 3)} AS cell, "
+            f"g AS (SELECT {_cell_sql('lat', 'lon', 3)} AS cell, lat, lon, "
             "radians(lat) AS la, radians(lon) AS lo FROM pts), "
             "a AS (SELECT cell, avg(cos(la) * cos(lo)) AS x, "
             "avg(cos(la) * sin(lo)) AS y, avg(sin(la)) AS z, "
-            "count(*) AS n_points FROM c GROUP BY cell) "
-            "SELECT cell, n_points, "
+            "count(*) AS n_points FROM g GROUP BY cell), "
+            "cen AS (SELECT cell, n_points, "
             "round(degrees(atan2(z, sqrt(x * x + y * y))), 6) AS c_lat6, "
             "round(degrees(atan2(y, x)), 6) AS c_lon6, "
-            "round(sqrt(x * x + y * y + z * z), 6) AS resultant6 FROM a"
-        ),
-        # largest-gap complement over distinct lons per cell — identical
-        # window + arithmetic ops both engines
-        "geo_bbox": (
-            f"WITH pts AS ({_CAND_SQL}), "
-            f"g AS (SELECT {_cell_sql('lat', 'lon', 3)} AS cell, lat, lon FROM pts), "
-            "lats AS (SELECT cell, count(*) AS n_points, min(lat) AS lat_min, "
+            "round(sqrt(x * x + y * y + z * z), 6) AS resultant6 FROM a), "
+            "lats AS (SELECT cell, min(lat) AS lat_min, "
             "max(lat) AS lat_max FROM g GROUP BY cell), "
             "lons AS (SELECT DISTINCT cell, lon FROM g), "
             "k AS (SELECT cell, lon, coalesce("
@@ -1450,12 +1411,14 @@ def oracle_sql() -> dict[str, str]:
             "b AS (SELECT cell, lon, nxt, nxt - lon AS gap, "
             "row_number() OVER (PARTITION BY cell "
             "ORDER BY (nxt - lon) DESC, lon ASC) AS rn FROM k) "
-            "SELECT l.cell, l.n_points, "
+            "SELECT cen.cell, cen.n_points, cen.c_lat6, cen.c_lon6, "
+            "cen.resultant6, "
             "round(l.lat_min, 6) AS lat_min6, round(l.lat_max, 6) AS lat_max6, "
             "round(" + _posmod("b.nxt + 1.8e2") + " - 1.8e2, 6) AS lon_west6, "
             "round(b.lon, 6) AS lon_east6, "
             "round(3.6e2 - b.gap, 6) AS lon_width6 "
-            "FROM lats l JOIN b ON b.cell = l.cell AND b.rn = 1"
+            "FROM cen JOIN lats l ON l.cell = cen.cell "
+            "JOIN b ON b.cell = cen.cell AND b.rn = 1"
         ),
         # spherical direct problem with the identical double ops (trig
         # ulp noise absorbed by the 6dp rounding)
@@ -1502,18 +1465,28 @@ def oracle_sql() -> dict[str, str]:
             f"b AS (SELECT doc_id, {sim_sums} FROM h GROUP BY doc_id) "
             f"SELECT doc_id, CAST({sim_val} AS BIGINT) AS simhash FROM b"
         ),
-        "token_quality": (
-            f"WITH toks AS (SELECT doc_id, text, {_WORDS} AS words FROM documents) "
-            "SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens, "
+        # quality_score + language_id joined per doc (merged r4)
+        "text_quality": (
+            f"WITH toks AS (SELECT doc_id, text, {_WORDS} AS words FROM documents), "
+            "qs AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens, "
             "CAST(length(text) AS BIGINT) AS nch, "
             "round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / greatest(length(text), 1), 6) AS alpha_r, "
             f"round(len(list_filter(words, w -> list_contains([{stop_list}], w))) / greatest(len(words), 1), 6) AS stop_r, "
             "round(least(len(words) / 2e1, 1e0) * 4e-1 + "
             "(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / greatest(length(text), 1)) * 4e-1 + "
             f"least((len(list_filter(words, w -> list_contains([{stop_list}], w))) / greatest(len(words), 1)) * 4e0, 1e0) * 2e-1, 6) AS q "
-            "FROM toks"
+            "FROM toks), "
+            "h AS (SELECT doc_id, "
+            + ", ".join(f"{hits(lang)} AS h_{lang}" for lang in langs)
+            + " FROM toks), "
+            "b AS (SELECT doc_id, " + ", ".join(f"h_{lang}" for lang in langs)
+            + f", greatest({', '.join('h_' + lang for lang in langs)}) AS best FROM h), "
+            f"lid AS (SELECT doc_id, {lang_case} AS lang_pred FROM b) "
+            "SELECT qs.doc_id, qs.n_tokens, qs.nch, qs.alpha_r, qs.stop_r, "
+            "qs.q, lid.lang_pred FROM qs JOIN lid ON lid.doc_id = qs.doc_id"
         ),
-        "trigram_logprob": (
+        # token_count_bpe + trigram_logprob joined per doc (merged r4)
+        "text_lm": (
             "WITH tri AS (SELECT doc_id, unnest(list_transform("
             "generate_series(1, greatest(length(lower(text)) - 2, 0)), "
             "i -> substring(lower(text), i, 3))) AS tg FROM documents), "
@@ -1521,27 +1494,31 @@ def oracle_sql() -> dict[str, str]:
             "t AS (SELECT sum(n) AS tot FROM c), "
             "s AS (SELECT tri.doc_id, avg(ln(c.n / t.tot)) AS lp "
             "FROM tri JOIN c ON c.tg = tri.tg CROSS JOIN t GROUP BY tri.doc_id) "
-            "SELECT d.doc_id, round(s.lp, 6) AS tri_lp "
+            "SELECT d.doc_id, CAST(len(regexp_extract_all(d.text, "
+            "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]+')) AS BIGINT) AS n_bpe, "
+            "round(s.lp, 6) AS tri_lp "
             "FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id"
         ),
-        "bpe_tokens": (
-            "SELECT doc_id, CAST(len(regexp_extract_all(text, "
-            "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]+')) AS BIGINT) AS n_bpe "
-            "FROM documents"
-        ),
-        "language_id": (
+        # whole-doc fingerprint LEFT JOIN rolling winnowed fingerprints
+        # (merged r4; left keeps docs whose winnowed selection is empty)
+        "fingerprints": (
             f"WITH toks AS (SELECT doc_id, {_WORDS} AS words FROM documents), "
-            "h AS (SELECT doc_id, "
-            + ", ".join(f"{hits(lang)} AS h_{lang}" for lang in langs)
-            + " FROM toks), "
-            "b AS (SELECT doc_id, " + ", ".join(f"h_{lang}" for lang in langs)
-            + f", greatest({', '.join('h_' + lang for lang in langs)}) AS best FROM h) "
-            f"SELECT doc_id, {lang_case} AS lang_pred FROM b"
-        ),
-        "doc_fingerprint": (
-            f"WITH toks AS (SELECT doc_id, {_WORDS} AS words FROM documents) "
-            "SELECT doc_id, md5(array_to_string(list_sort(list_distinct(words)), ' ')) "
-            "AS fingerprint FROM toks"
+            "docfp AS (SELECT doc_id, "
+            "md5(array_to_string(list_sort(list_distinct(words)), ' ')) "
+            "AS fingerprint FROM toks), "
+            "sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
+            "generate_series(1, greatest(len(words) - 3, 0)), "
+            "i -> array_to_string(words[i:i+3], ' ')))) AS shingle FROM toks), "
+            "fps AS (SELECT doc_id, CAST("
+            + " + ".join(
+                f"(instr('0123456789abcdef', substr(md5(shingle), {j + 1}, 1)) - 1) "
+                f"* {16 ** (11 - j)}"
+                for j in range(12)
+            )
+            + " AS BIGINT) AS fp FROM sh), "
+            "roll AS (SELECT DISTINCT doc_id, fp FROM fps WHERE fp % 8 = 0) "
+            "SELECT d.doc_id, d.fingerprint, r.fp "
+            "FROM docfp d LEFT JOIN roll r ON r.doc_id = d.doc_id"
         ),
         # exact word-5-gram contamination join: distinct shingles per
         # doc on both sides, so count(*) == distinct shared n-grams
@@ -1593,10 +1570,6 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _ivf_sql(),
         "pq_topk": _pq_sql(),
         "ivfpq_topk": _ivfpq_sql(),
-        "point_in_radius_gc": (
-            f"SELECT cand_id, round({gc_o}, 0) AS dist_m FROM ({_CAND_SQL}) "
-            f"WHERE {gc_o} <= 2e6"
-        ),
         "radius_join_salted": (
             f"SELECT q.query_id, c.cand_id, round({gc_q}, 0) AS dist_m "
             f"FROM ({_QRY_SQL}) q, ({_CAND_SQL}) c WHERE {gc_q} <= 8e5"
@@ -1633,18 +1606,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT poly_id, count(*) AS n_tiles, round(sum(value), 6) AS sum_v "
             "FROM tiles GROUP BY poly_id"
         ),
+        # geodist_dimwise + geodist_dimwise_haversine on the same pair
+        # relation (merged r4)
         "dimwise": (
-            f"SELECT a.query_id AS id_1, b.query_id AS id_2, round({gc_m}, 0) AS dist_m, "
-            "b.feat - a.feat AS d_feat "
-            f"FROM (SELECT query_id, q_lat AS lat, q_lon AS lon, "
-            f"CAST(query_id % 7 AS DOUBLE) AS feat FROM ({_QRY_SQL})) a, "
-            f"(SELECT query_id, q_lat AS lat, q_lon AS lon, "
-            f"CAST(query_id % 7 AS DOUBLE) AS feat FROM ({_QRY_SQL})) b"
-        ),
-        "dimwise_haversine": (
             "WITH q AS (SELECT query_id AS id, q_lat AS lat, q_lon AS lon, "
             f"CAST(query_id % 7 AS DOUBLE) AS feat FROM ({_QRY_SQL})) "
             "SELECT a.id AS id_1, b.id AS id_2, "
+            f"round({_gc_sql('a.lat', 'a.lon', 'b.lat', 'b.lon')}, 0) AS dist_m, "
+            "b.feat - a.feat AS d_feat, "
             "round(2e0 * 6.371009e6 * asin(abs(sin(abs(radians(a.lat - b.lat)) / 2e0))), 0) AS hv_lat_m, "
             "round(2e0 * 6.371009e6 * asin(sqrt((1e0 "
             "- sin(abs(radians(a.lat - b.lat)) / 2e0) * sin(abs(radians(a.lat - b.lat)) / 2e0) "
@@ -1653,28 +1622,15 @@ def oracle_sql() -> dict[str, str]:
             "round(abs(b.feat - a.feat), 0) AS d_feat_abs "
             "FROM q a, q b"
         ),
-        "rolling_fingerprints": (
-            f"WITH toks AS (SELECT doc_id, {_WORDS} AS words FROM documents), "
-            "sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
-            "generate_series(1, greatest(len(words) - 3, 0)), "
-            "i -> array_to_string(words[i:i+3], ' ')))) AS shingle FROM toks), "
-            "fps AS (SELECT doc_id, CAST("
-            + " + ".join(
-                f"(instr('0123456789abcdef', substr(md5(shingle), {j + 1}, 1)) - 1) "
-                f"* {16 ** (11 - j)}"
-                for j in range(12)
-            )
-            + " AS BIGINT) AS fp FROM sh) "
-            "SELECT DISTINCT doc_id, fp FROM fps WHERE fp % 8 = 0"
-        ),
         "embedding_near_pairs": _emb_near_pairs_sql(),
         # media decode mirror: the fetch stub synthesizes payloads whose
         # PNG/BMP header dimensions (and the raw path's pseudo-dims) are
         # functions of sha256(media_ref) — recomputable from the hex here
         "media_features": (
-            f"{span_cte}, m AS (SELECT doc_id, span_idx, sha256(span.media_ref) AS sx "
+            f"{span_cte}, m AS (SELECT doc_id, span_idx, span.media_ref AS mr, "
+            "sha256(span.media_ref) AS sx "
             "FROM s WHERE span.kind = 'media'), "
-            "b AS (SELECT doc_id, span_idx, "
+            "b AS (SELECT doc_id, span_idx, mr, "
             + ", ".join(
                 f"((instr('0123456789abcdef', substr(sx, {2 * i + 1}, 1)) - 1) * 16 + "
                 f"(instr('0123456789abcdef', substr(sx, {2 * i + 2}, 1)) - 1)) AS b{i}"
@@ -1688,7 +1644,8 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 16 + (b1 + 256 * b2) % 2033 END AS BIGINT) AS width, "
             "CAST(CASE b0 % 5 WHEN 4 THEN (b2 + 256 * b3) % 1080 + 16 "
             "ELSE 16 + (b3 + 256 * b4) % 1525 END AS BIGINT) AS height, "
-            "CAST(128 AS BIGINT) AS n_bytes FROM b"
+            "CAST(128 AS BIGINT) AS n_bytes, "
+            "split_part(mr, '://', 2) AS media_key FROM b"
         ),
         # transitive closure (recursive CTE) over the near-dup pair graph
         # — an INDEPENDENT realization of the engine's iterative
