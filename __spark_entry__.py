@@ -975,9 +975,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("id_1", "id_2", F.round("cosine", 6).alias("cos_r"))
 
     def q_near_dup_groups(spark, sf_dir):
+        # large-star/small-star path (r4): O(log n) rounds on
+        # adversarial diameters; the recursive-CTE oracle is an
+        # independent realization, so this gates the new algorithm
         from geodistpy_spark.textops import near_dup_groups
 
-        return near_dup_groups(_flat_docs(spark, sf_dir), threshold=0.5)
+        return near_dup_groups(_flat_docs(spark, sf_dir), threshold=0.5,
+                               algorithm="star")
 
     def q_cell_density_smooth(spark, sf_dir):
         from geodistpy_spark.operators import cell_density_smooth

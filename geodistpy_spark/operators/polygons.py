@@ -398,12 +398,19 @@ def point_in_polygon_join(points: DataFrame, polygons: DataFrame,
                           lat_col: str = "lat", lon_col: str = "lon",
                           how: str = "inner",
                           strategy: str = "auto",
-                          broadcast_max_polys: int = 512) -> DataFrame:
+                          broadcast_max_polys: int = 512,
+                          point_id_cols: list[str] | None = None) -> DataFrame:
     """Join each point to the polygon(s) containing it.
 
     ``polygons``: (poly_id, name?, ring: array<struct<lat,lon>>).
     ``how='left'`` keeps non-matching points with null poly_id (used by
-    zonal stats to count unassigned tiles).
+    zonal stats to count unassigned tiles). On the left path,
+    ``point_id_cols`` names columns forming a unique per-row key: the
+    row surrogate becomes a deterministic ``xxhash64`` over them and no
+    localCheckpoint materialization happens — prefer this whenever a
+    natural key exists (at 10^12 rows the checkpoint is the dominant
+    cost; without keys the nondeterministic-id + checkpoint fallback
+    pins row identity against task retries).
 
     Two physical strategies, identical results:
 
@@ -432,12 +439,23 @@ def point_in_polygon_join(points: DataFrame, polygons: DataFrame,
     left = how == "left"
     pts = points
     if left:
-        # monotonically_increasing_id is NONdeterministic: base and hit
-        # below both read this plan, and a task retry / AQE re-shuffle
-        # could assign different ids per evaluation, silently mis-joining.
-        # localCheckpoint pins one materialized assignment for both
-        # subtrees (eager: runs a job here, acceptable on the left path).
-        pts = pts.withColumn("__pt", F.monotonically_increasing_id()).localCheckpoint()
+        if point_id_cols:
+            # caller names a natural key (unique per row by contract):
+            # a DETERMINISTIC surrogate — xxhash64 over the key columns
+            # — needs no materialization, so the full point relation is
+            # never checkpointed (the 10^12-row path; at that scale a
+            # localCheckpoint of the left side is the dominant cost)
+            pts = pts.withColumn(
+                "__pt", F.xxhash64(*[F.col(c) for c in point_id_cols]))
+        else:
+            # monotonically_increasing_id is NONdeterministic: base and
+            # hit below both read this plan, and a task retry / AQE
+            # re-shuffle could assign different ids per evaluation,
+            # silently mis-joining. localCheckpoint pins one
+            # materialized assignment for both subtrees (eager: runs a
+            # job here, acceptable fallback when no natural key exists).
+            pts = pts.withColumn(
+                "__pt", F.monotonically_increasing_id()).localCheckpoint()
 
     if strategy == "relational":
         hit = _pip_join_relational(pts, polygons, lat_col, lon_col)

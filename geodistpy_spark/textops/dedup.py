@@ -206,17 +206,30 @@ def near_duplicates_minhash(df: DataFrame, id_col: str = "doc_id",
 def connected_components(nodes: DataFrame, pairs: DataFrame,
                          id_col: str = "doc_id",
                          max_iter: int = 25,
-                         checkpoint_every: int = 8) -> DataFrame:
+                         checkpoint_every: int = 8,
+                         algorithm: str = "minlabel",
+                         stats: dict | None = None) -> DataFrame:
     """Connected components over an undirected pair graph: every node
     labeled with its component's smallest id (singletons label
     themselves). ``pairs`` has columns (id_1, id_2).
 
-    Realized as iterative min-label propagation (each round: one
-    edge-join + groupBy-min + label update; rounds = eccentricity of the
-    component from its min-id node). Near-dup clusters have tiny
-    diameters in practice, so rounds stay single-digit; for adversarial
-    graph shapes at extreme scale swap in the large-star/small-star
-    alternating algorithm — the join shape is identical.
+    Two algorithms, identical output:
+
+    - ``minlabel`` (default) — iterative min-label propagation (each
+      round: one edge-join + groupBy-min + label update; rounds =
+      eccentricity of the component from its min-id node). Near-dup
+      clusters have tiny diameters in practice, so rounds stay
+      single-digit.
+    - ``star`` — alternating large-star/small-star rewiring (Kiveris et
+      al., "Connected Components in MapReduce and Beyond", 2014):
+      every round REWIRES edges toward per-neighborhood minima instead
+      of propagating labels one hop, converging in O(log n) rounds on
+      adversarial diameters (paths/chains) where minlabel needs O(n).
+      Same join shape per round (groupBy-min + equi-join), so the
+      per-round cost is comparable — prefer it when cluster diameters
+      are unknown at extreme scale.
+
+    ``stats``: a dict that receives {"rounds": int} for observability.
 
     Cache hygiene: every intermediate cache is unpersisted before
     return. When a checkpoint dir is set (``sc.setCheckpointDir``) the
@@ -226,6 +239,11 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     Without a checkpoint dir the returned frame stays cached (the caller
     may unpersist it after consuming).
     """
+    if algorithm not in ("minlabel", "star"):
+        raise ValueError(f"unknown algorithm={algorithm!r}")
+    if algorithm == "star":
+        return _connected_components_star(nodes, pairs, id_col, max_iter,
+                                          checkpoint_every, stats)
     sc = nodes.sparkSession.sparkContext
     reliable = sc.getCheckpointDir() is not None
     edges = pairs.select("id_1", "id_2").unionByName(
@@ -251,9 +269,18 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            if stats is not None:
+                stats["rounds"] = i + 1
             break
-        if reliable and (i + 1) % checkpoint_every == 0:
-            truncated = labels.checkpoint(eager=True)
+        if (i + 1) % checkpoint_every == 0:
+            # lineage truncation must happen with OR without a
+            # checkpoint dir: each round's plan references the previous
+            # labels ~3x, so an un-truncated plan grows 3^rounds and
+            # Catalyst/tree-string work alone hangs past ~12 rounds on
+            # higher-diameter graphs (localCheckpoint stands in when no
+            # reliable dir is configured)
+            truncated = (labels.checkpoint(eager=True) if reliable
+                         else labels.localCheckpoint(eager=True))
             labels.unpersist()
             labels = truncated
     if reliable:
@@ -268,16 +295,117 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     return labels
 
 
+def _connected_components_star(nodes: DataFrame, pairs: DataFrame,
+                               id_col: str, max_iter: int,
+                               checkpoint_every: int,
+                               stats: dict | None) -> DataFrame:
+    """Alternating large-star/small-star CC (see connected_components).
+
+    Edges are kept as a distinct (u, v) relation oriented u > v. Per
+    round:
+
+    - large-star: for every node c (over the symmetrized edge view),
+      attach each strictly-larger neighbor to min(N(c) ∪ {c}).
+    - small-star: for every node c (edges oriented c > v), attach its
+      smaller neighbors and c itself to min(N⁻(c)).
+
+    Both are one groupBy-min + one equi-join. Convergence = oriented
+    edge set stable across a full round, detected with a deterministic
+    (count, sum(xxhash64)) checksum — no set-difference shuffle. On
+    convergence every component is a star around its min node, so the
+    label map is a single groupBy.
+    """
+    spark = nodes.sparkSession
+    sc = spark.sparkContext
+    reliable = sc.getCheckpointDir() is not None
+
+    def _pin(df):
+        # EVERY round must truncate lineage: a star round references its
+        # input ~4x (symmetrize union + two self-join sides), so the
+        # un-truncated logical plan grows 4^rounds and Catalyst analysis
+        # alone hangs past ~10 rounds. Rounds are O(log n), so one
+        # materialization per round is cheap.
+        return (df.checkpoint(eager=True) if reliable
+                else df.localCheckpoint(eager=True))
+
+    e = _pin(
+        pairs.select(F.greatest("id_1", "id_2").alias("u"),
+                     F.least("id_1", "id_2").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def _checksum(df):
+        # decimal(38,0) sum: long would overflow under ANSI on summed
+        # 64-bit hashes
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h")
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    def _large_star(edges):
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.first("u"), F.min("v")).alias("m"))
+        return (
+            sym.join(mins, on="u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def _small_star(edges):
+        mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+        rewired = (
+            edges.join(mins, on="u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        centers = mins.select("u", F.col("m").alias("v"))
+        return rewired.unionByName(centers).filter(
+            F.col("u") != F.col("v")).distinct()
+
+    prev = _checksum(e)
+    rounds = 0
+    for i in range(max_iter):
+        e = _pin(_small_star(_large_star(e)))
+        cur = _checksum(e)
+        rounds = i + 1
+        if cur == prev:
+            break
+        prev = cur
+    if stats is not None:
+        stats["rounds"] = rounds
+
+    # converged: stars around component minima — one groupBy labels all
+    # non-center nodes; singletons and centers label themselves.
+    # (Superseded per-round materializations are dropped by the
+    # ContextCleaner once unreferenced — nothing stays pinned.)
+    star_map = e.groupBy(F.col("u").alias(id_col)).agg(
+        F.min("v").alias("__m"))
+    labels = (
+        nodes.select(id_col)
+        .join(star_map, on=id_col, how="left")
+        .select(id_col,
+                F.coalesce("__m", F.col(id_col)).alias("group_id"))
+    )
+    return _pin(labels)
+
+
 def near_dup_groups(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", k: int = 3,
-                    threshold: float = 0.7, max_iter: int = 25) -> DataFrame:
+                    threshold: float = 0.7, max_iter: int = 25,
+                    algorithm: str = "minlabel") -> DataFrame:
     """Text near-dup components: :func:`connected_components` over the
     transitive closure of :func:`near_duplicates_minhash` pairs at
     ``threshold``. (For embeddings, feed
     :func:`embedding_near_pairs` output into connected_components the
     same way.)"""
     pairs = near_duplicates_minhash(df, id_col, text_col, k, threshold)
-    return connected_components(df, pairs, id_col, max_iter)
+    return connected_components(df, pairs, id_col, max_iter,
+                                algorithm=algorithm)
 
 
 def dedup_near(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",

@@ -431,6 +431,32 @@ class TestPipLeftJoin:
         assert out[out.pid == 3].poly_id.isna().all()
         assert (per_pid[1] == per_pid[2])  # identical dup rows behave alike
 
+    def test_left_join_key_cols_skip_checkpoint(self, spark, polygons):
+        # point_id_cols=['pid'] -> deterministic xxhash64 surrogate, NO
+        # localCheckpoint materialization in the plan (round-3 advice:
+        # at 10^12 rows the checkpoint of the left side dominates)
+        from geodistpy_spark.operators import point_in_polygon_join
+
+        pts = spark.range(3).select(
+            (F.col("id") + 1).alias("pid"),
+            F.when(F.col("id") < 2, 36.9).otherwise(0.0).alias("lat"),
+            F.when(F.col("id") < 2, -12.0).otherwise(0.0).alias("lon"))
+        keyed = point_in_polygon_join(pts, polygons, how="left",
+                                      point_id_cols=["pid"])
+        plan = keyed._jdf.queryExecution().optimizedPlan().toString()
+        # the lazy Range source must SURVIVE in the plan: the checkpoint
+        # fallback would swallow it into a materialized LogicalRDD
+        assert "Range (0, 3" in plan, plan
+        assert "xxhash64" in plan.lower()
+        fallback = point_in_polygon_join(pts, polygons, how="left")
+        fplan = fallback._jdf.queryExecution().optimizedPlan().toString()
+        assert "Range (0, 3" not in fplan  # materialized by localCheckpoint
+        got = keyed.toPandas()
+        ref = point_in_polygon_join(pts, polygons, how="left").toPandas()
+        key = lambda df: sorted(
+            map(tuple, df[["pid", "poly_id"]].fillna(-1).values))
+        assert key(got) == key(ref)
+
 
 class TestAsofJoin:
     def test_matches_pandas_merge_asof(self, spark):

@@ -678,3 +678,50 @@ class TestAnnFixtures:
         b = pq_topk(emb, q, 4, codebooks=books, codes=codes).toPandas()
         assert sorted(map(tuple, a[["query_id", "vec_id", "rank"]].values)) \
             == sorted(map(tuple, b[["query_id", "vec_id", "rank"]].values))
+
+
+class TestStarConnectedComponents:
+    def test_long_chain_converges_logarithmically(self, spark):
+        # diameter-128 path graph: minlabel needs ~128 rounds (it would
+        # hit max_iter), the star algorithm must finish in O(log n)
+        from geodistpy_spark.textops import connected_components
+
+        n = 129
+        nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+        pairs = spark.range(n - 1).select(
+            F.col("id").alias("id_1"), (F.col("id") + 1).alias("id_2"))
+        stats = {}
+        out = connected_components(nodes, pairs, max_iter=15,
+                                   algorithm="star", stats=stats).toPandas()
+        assert stats["rounds"] <= 10, stats
+        assert (out.group_id == 0).all()
+        assert len(out) == n
+
+    def test_star_matches_minlabel_on_random_graph(self, spark):
+        import numpy as np
+
+        from geodistpy_spark.textops import connected_components
+
+        rng = np.random.default_rng(7)
+        n = 200
+        edges = [(int(a), int(b)) for a, b in rng.integers(0, n, (150, 2))
+                 if a != b]
+        nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+        pairs = spark.createDataFrame(edges, "id_1 long, id_2 long")
+        a = connected_components(nodes, pairs, algorithm="star").toPandas()
+        b = connected_components(nodes, pairs, algorithm="minlabel").toPandas()
+        am = dict(zip(a.doc_id, a.group_id))
+        bm = dict(zip(b.doc_id, b.group_id))
+        assert am == bm
+
+    def test_star_empty_and_selfloop(self, spark):
+        from geodistpy_spark.textops import connected_components
+
+        nodes = spark.range(5).select(F.col("id").alias("doc_id"))
+        empty = spark.createDataFrame([], "id_1 long, id_2 long")
+        out = connected_components(nodes, empty, algorithm="star").toPandas()
+        assert (out.doc_id == out.group_id).all()
+        loops = spark.createDataFrame([(2, 2), (3, 4)], "id_1 long, id_2 long")
+        out2 = connected_components(nodes, loops, algorithm="star").toPandas()
+        got = dict(zip(out2.doc_id, out2.group_id))
+        assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 3}
