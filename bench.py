@@ -197,6 +197,16 @@ def main():
     if os.path.exists(scaling_path):
         with open(scaling_path) as f:
             out["scaling"] = json.load(f)
+    suite_path = os.path.join(_REPO, "BENCH", "scaling_suite.json")
+    if os.path.exists(suite_path):
+        with open(suite_path) as f:
+            s = json.load(f)
+        out["scaling_suite"] = {
+            "pair": s["pair"],
+            "suite_efficiency": s["suite_efficiency"],
+            "pipeline_efficiency": s["pipeline_efficiency"],
+            "per_query_efficiency": s["per_query_efficiency"],
+        }
     print(json.dumps(out))
     spark.stop()
 
