@@ -92,7 +92,12 @@ def run_bench(spark, sf_dir: str) -> dict[str, float]:
 
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", 0)) or _SF_DOCS.get(_sf_label(), 10_000)
     docs_path = ensure_bench_docs(n_docs)
-    queries_path = ensure_bench_queries(200)
+    # query-set size knob: the scaling sweeps raise this so per-query
+    # work dwarfs fixed per-job overhead (N=2 walls must be tens of
+    # seconds for an efficiency measurement to see the engine, not the
+    # ~2.5 s driver/plan/worker-spinup constant)
+    n_queries = int(os.environ.get("SPARK_GRAFT_BENCH_QUERIES", 200))
+    queries_path = ensure_bench_queries(n_queries)
     fixture_paths = ensure_default_fixtures()
 
     docs = spark.read.parquet(docs_path)

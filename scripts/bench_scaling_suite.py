@@ -33,6 +33,13 @@ import time
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 N_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", 1_000_000))
+# per-query work must dwarf the ~2.5 s fixed per-job overhead at N=2 or
+# the efficiency measures the constant, not the engine (first sweep at
+# the default 200 queries / 2M pairs read 0.24-0.4 on the join queries
+# purely from overhead): 2,000 radius/kNN queries and 40M Vincenty
+# pairs put every scalable query's local[2] wall in the tens of seconds
+N_QUERIES = int(os.environ.get("SPARK_GRAFT_SCALE_QUERIES", 2_000))
+N_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", 40_000_000))
 LEVELS = (2, 8)
 REPS = os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")
 
@@ -46,6 +53,8 @@ def run_level(cpus: int) -> dict:
     env.update({
         "SPARK_GRAFT_CPUS": str(cpus),
         "SPARK_GRAFT_BENCH_DOCS": str(N_DOCS),
+        "SPARK_GRAFT_BENCH_QUERIES": str(N_QUERIES),
+        "SPARK_GRAFT_BENCH_PAIRS": str(N_PAIRS),
         "SPARK_GRAFT_BENCH_REPS": REPS,
         "SPARK_DRIVER_MEMORY": "48g",
     })
@@ -94,6 +103,13 @@ def main():
                         for k in LEVELS},
         "docs_per_sec": {str(k): results[k]["docs_per_sec"] for k in LEVELS},
         "load_avg": loads,
+        "note": (
+            "q6/q7 run over the fixed sf0.1 driver tables (5k docs / 500 "
+            "vectors) whose walls sit near the fixed per-job overhead at "
+            "both levels — their efficiencies measure that constant, not "
+            "the engine's plan; the docs-scaled (q1/q4/q8) and "
+            "knob-scaled (q2/q3/q5) queries are the signal"
+        ),
     }
     path = os.path.join(_REPO, "BENCH", "scaling_suite.json")
     os.makedirs(os.path.dirname(path), exist_ok=True)
