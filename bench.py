@@ -82,6 +82,70 @@ def ensure_bench_queries(n: int = 200) -> str:
     return path
 
 
+def ensure_bench_polygons(n: int) -> str:
+    """Sweep-scale polygon set (deterministic; default bench uses the
+    50-ring driver fixture)."""
+    import pyarrow.parquet as pq
+
+    from geodistpy_spark.sources.fixtures import generate_polygons
+
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    path = os.path.join(BENCH_DIR, f"polygons_{n}.parquet")
+    if not os.path.exists(path):
+        pq.write_table(generate_polygons(n), path)
+    return path
+
+
+def ensure_bench_texts(n: int) -> str:
+    """Sweep-scale text corpus for the dedup query: deterministic
+    lorem-vocabulary documents (20-60 words), near-zero pairwise
+    Jaccard so the timing measures shingle+MinHash aggregation (the
+    real cost at corpus scale), not a pathological pair blowup."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geodistpy_spark.sources.fixtures import _LOREM
+
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    path = os.path.join(BENCH_DIR, f"texts_{n}.parquet")
+    if not os.path.exists(path):
+        rng = np.random.default_rng(4242)
+        n_words = rng.integers(20, 61, size=n)
+        idx = rng.integers(0, len(_LOREM), size=(n, 60))
+        texts = [" ".join(_LOREM[w] for w in idx[i, : n_words[i]])
+                 for i in range(n)]
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }), path)
+    return path
+
+
+def ensure_bench_embeddings(n: int, dim: int = 64) -> str:
+    """Sweep-scale embedding table (deterministic float32)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    path = os.path.join(BENCH_DIR, f"emb_{n}")
+    marker = os.path.join(path, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        rng = np.random.default_rng(99)
+        chunk = 250_000
+        for i, start in enumerate(range(0, n, chunk)):
+            m = min(chunk, n - start)
+            V = rng.standard_normal((m, dim), dtype=np.float32)
+            pq.write_table(pa.table({
+                "vec_id": pa.array(range(start, start + m), pa.int64()),
+                "embedding": pa.array(list(V), pa.list_(pa.float32())),
+            }), os.path.join(path, f"part-{i:04d}.parquet"))
+        open(marker, "w").close()
+    return path
+
+
 def run_bench(spark, sf_dir: str) -> dict[str, float]:
     from pyspark.sql import functions as F
 
@@ -132,7 +196,12 @@ def run_bench(spark, sf_dir: str) -> dict[str, float]:
         queries, geo, 10, c_lat="lat", c_lon="lon").count())
 
     # q4: point-in-polygon + zonal aggregate over doc points
-    polys = spark.read.parquet(fixture_paths["polygons"])
+    # (SPARK_GRAFT_BENCH_POLYS scales the ring set for the scaling
+    # sweeps; default stays the 50-ring driver fixture)
+    n_polys = int(os.environ.get("SPARK_GRAFT_BENCH_POLYS", 0))
+    polys_path = ensure_bench_polygons(n_polys) if n_polys \
+        else fixture_paths["polygons"]
+    polys = spark.read.parquet(polys_path)
     timed("q4_pip_zonal", lambda: zonal_stats(
         geo.withColumn("value", F.lit(1.0)), polys).count())
 
@@ -150,12 +219,21 @@ def run_bench(spark, sf_dir: str) -> dict[str, float]:
         pairs, "lat1", "lon1", "lat2", "lon2").agg(F.sum("dist")).collect())
 
     # q6: MinHash near-dup pipeline over the driver documents table
-    flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # (SPARK_GRAFT_BENCH_TEXT_DOCS swaps in a deterministic n-doc
+    # corpus for the scaling sweeps)
+    n_texts = int(os.environ.get("SPARK_GRAFT_BENCH_TEXT_DOCS", 0))
+    flat = spark.read.parquet(
+        ensure_bench_texts(n_texts) if n_texts
+        else f"{sf_dir}/documents.parquet")
     timed("q6_minhash_dedup", lambda: near_duplicates_minhash(
         flat, threshold=0.5).count())
 
-    # q7: embedding cosine top-k
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # q7: embedding cosine top-k (SPARK_GRAFT_BENCH_EMB scales the
+    # vector table for the scaling sweeps)
+    n_emb = int(os.environ.get("SPARK_GRAFT_BENCH_EMB", 0))
+    emb = spark.read.parquet(
+        ensure_bench_embeddings(n_emb) if n_emb
+        else f"{sf_dir}/embeddings.parquet")
     qv = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
     timed("q7_embed_topk", lambda: cosine_topk(emb, qv, 10).count())
