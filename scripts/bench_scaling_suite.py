@@ -42,7 +42,7 @@ N_QUERIES = int(os.environ.get("SPARK_GRAFT_SCALE_QUERIES", 8_000))
 N_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", 80_000_000))
 N_POLYS = int(os.environ.get("SPARK_GRAFT_SCALE_POLYS", 500))
 N_TEXTS = int(os.environ.get("SPARK_GRAFT_SCALE_TEXTS", 50_000))
-N_EMB = int(os.environ.get("SPARK_GRAFT_SCALE_EMB", 1_000_000))
+N_EMB = int(os.environ.get("SPARK_GRAFT_SCALE_EMB", 4_000_000))
 # local[8] runs FIRST: it needs ~16 free vCPUs and is the level
 # sensitive to residual load; local[2] (needs ~4 of 32) is nearly
 # immune, so it absorbs the decay of the first run
@@ -137,7 +137,7 @@ def main():
             "the ~2.5 s fixed per-job constant (a once-per-executor cost "
             "on a real cluster): 2M docs (q1/q4/q8), 8k radius/kNN "
             "queries (q2/q3), 80M Vincenty pairs (q5), 500 polygons "
-            "(q4), 50k text docs (q6), 1M embeddings (q7)"
+            "(q4), 50k text docs (q6), 4M embeddings (q7)"
         ),
     }
     path = os.path.join(_REPO, "BENCH", "scaling_suite.json")
