@@ -243,7 +243,7 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
         raise ValueError(f"unknown algorithm={algorithm!r}")
     if algorithm == "star":
         return _connected_components_star(nodes, pairs, id_col, max_iter,
-                                          checkpoint_every, stats)
+                                          stats)
     sc = nodes.sparkSession.sparkContext
     reliable = sc.getCheckpointDir() is not None
     edges = pairs.select("id_1", "id_2").unionByName(
@@ -297,7 +297,6 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
 
 def _connected_components_star(nodes: DataFrame, pairs: DataFrame,
                                id_col: str, max_iter: int,
-                               checkpoint_every: int,
                                stats: dict | None) -> DataFrame:
     """Alternating large-star/small-star CC (see connected_components).
 
