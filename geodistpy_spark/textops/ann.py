@@ -56,11 +56,20 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int,
     import numpy as np
 
     spark = emb.sparkSession
+    result_schema = T.StructType([
+        T.StructField(q_id, queries.schema[q_id].dataType),
+        T.StructField(id_col, emb.schema[id_col].dataType),
+        T.StructField("cosine", T.DoubleType()),
+        T.StructField("rank", T.IntegerType()),
+    ])
     qrows = queries.select(
         F.col(q_id), F.col(q_vec).cast("array<double>").alias("qv")).collect()
+    if not qrows:
+        return spark.createDataFrame([], result_schema)
     qids = [r[q_id] for r in qrows]
     Q = np.stack([np.asarray(r["qv"], float) for r in qrows])
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    dim = Q.shape[1]
 
     out_schema = T.StructType([
         T.StructField(id_col, emb.schema[id_col].dataType),
@@ -73,6 +82,10 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int,
         import pandas as pd
 
         for pdf in pdfs:
+            # null / wrong-dimension vectors are ignored (they have no
+            # defined cosine; np.stack would crash on them)
+            ok = pdf["__v"].map(lambda v: v is not None and len(v) == dim)
+            pdf = pdf[ok]
             if not len(pdf):
                 continue
             X = np.stack(pdf["__v"].values)
@@ -310,6 +323,13 @@ def pq_topk(emb: DataFrame, queries: DataFrame, k: int,
 
     qrows = queries.select(
         F.col(q_id), F.col(q_vec).cast("array<double>").alias("qv")).collect()
+    if not qrows:
+        return emb.sparkSession.createDataFrame([], T.StructType([
+            T.StructField(q_id, queries.schema[q_id].dataType),
+            T.StructField(id_col, emb.schema[id_col].dataType),
+            T.StructField("cosine", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+        ]))
     qids = [r[q_id] for r in qrows]
     Q = np.stack([np.asarray(r["qv"], float) for r in qrows])
     Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
@@ -401,6 +421,13 @@ def ivfpq_topk(emb: DataFrame, queries: DataFrame, k: int,
 
     qrows = queries.select(
         F.col(q_id), F.col(q_vec).cast("array<double>").alias("qv")).collect()
+    if not qrows:
+        return emb.sparkSession.createDataFrame([], T.StructType([
+            T.StructField(q_id, queries.schema[q_id].dataType),
+            T.StructField(id_col, emb.schema[id_col].dataType),
+            T.StructField("cosine", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+        ]))
     qids = [r[q_id] for r in qrows]
     Q = np.stack([np.asarray(r["qv"], float) for r in qrows])
     Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)

@@ -725,3 +725,25 @@ class TestStarConnectedComponents:
         out2 = connected_components(nodes, loops, algorithm="star").toPandas()
         got = dict(zip(out2.doc_id, out2.group_id))
         assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 3}
+
+    def test_topk_empty_and_null_inputs(self, spark):
+        # empty query set / empty corpus / null embedding rows must not
+        # crash the Arrow-batched scorers (np.stack on empties did)
+        from geodistpy_spark.textops import (
+            codebooks_from_df, cosine_topk, ivfpq_topk, pq_topk)
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
+        q0 = q.filter(F.col("query_id") < 0)
+        books = codebooks_from_df(
+            spark.read.parquet("fixtures/ann/codebooks.parquet"))
+        assert cosine_topk(emb, q0, 3).count() == 0
+        assert cosine_topk(emb.filter(F.col("vec_id") < 0), q, 3).count() == 0
+        assert pq_topk(emb, q0, 3, codebooks=books).count() == 0
+        assert ivfpq_topk(emb, q0, 3, n_cells=4, codebooks=books).count() == 0
+        # null embedding rows are ignored, not fatal
+        emb2 = emb.withColumn("embedding", F.when(
+            F.col("vec_id") == 7, F.lit(None)).otherwise(F.col("embedding")))
+        out = cosine_topk(emb2, q, 3).toPandas()
+        assert len(out) == 6 and 7 not in set(out.vec_id)
