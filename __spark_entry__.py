@@ -585,8 +585,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("cand_id", _r0(F.col("dist")).alias("dist_m"))
 
     def q_cell_index_rollup(spark, sf_dir):
-        # cell index counts at res 7 + parent rollup to res 4, one query
-        # (was cell_index_counts + cell_rollup), grain-tagged union
+        # cell index counts at res 7 + parent rollup to res 4 + the
+        # COMPACTED representation of the occupied res-7 cell set
+        # (H3-compact analog, complete 4-sibling groups -> parent,
+        # recursively to res 4; n = res-7 leaves each compacted cell
+        # stands for), one grain-tagged union
+        from geodistpy_spark.operators import compact_cell_set
+
         cands = _cand_points(spark, sf_dir).withColumn(
             "cell", cell_id_col("lat", "lon", 7))
         leaf = cands.groupBy("cell").agg(F.count("*").alias("n")) \
@@ -597,7 +602,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select(F.lit("parent").alias("grain"),
                     F.col("parent").alias("key"), "n")
         )
-        return leaf.unionByName(parent)
+        comp = compact_cell_set(cands.select("cell"), 7, min_res=4).select(
+            F.concat(F.lit("compact"), F.col("res").cast("string")).alias("grain"),
+            F.col("cell").alias("key"),
+            F.expr("CAST(shiftleft(1, (7 - res) * 2) AS BIGINT)").alias("n"),
+        )
+        return leaf.unionByName(parent).unionByName(comp)
 
     def q_matrix_gc(spark, sf_dir):
         q = _query_points(spark, sf_dir).select(
@@ -1262,13 +1272,31 @@ def oracle_sql() -> dict[str, str]:
         "geodist_to_many_gc": (
             f"SELECT cand_id, round({gc_o}, 0) AS dist_m FROM ({_CAND_SQL})"
         ),
+        # leaf counts + parent rollup + unrolled 3-level compaction of
+        # the occupied cell set (complete 4-sibling groups -> parent,
+        # res 7 -> 4; mirrors operators.indexing.compact_cell_set)
         "cell_index_rollup": (
-            f"WITH cells AS (SELECT {cell7} AS cell FROM ({_CAND_SQL})) "
+            f"WITH cells AS (SELECT {cell7} AS cell FROM ({_CAND_SQL})), "
+            "c7 AS (SELECT DISTINCT cell FROM cells), "
+            "p7 AS (SELECT cell, ((cell // 128) // 2) * 64 + ((cell % 128) // 2) AS p FROM c7), "
+            "f6 AS (SELECT p FROM p7 GROUP BY p HAVING count(*) = 4), "
+            "k7 AS (SELECT cell FROM p7 ANTI JOIN f6 USING (p)), "
+            "p6 AS (SELECT p AS cell, ((p // 64) // 2) * 32 + ((p % 64) // 2) AS q FROM f6), "
+            "f5 AS (SELECT q FROM p6 GROUP BY q HAVING count(*) = 4), "
+            "k6 AS (SELECT cell FROM p6 ANTI JOIN f5 USING (q)), "
+            "p5 AS (SELECT q AS cell, ((q // 32) // 2) * 16 + ((q % 32) // 2) AS s FROM f5), "
+            "f4 AS (SELECT s FROM p5 GROUP BY s HAVING count(*) = 4), "
+            "k5 AS (SELECT cell FROM p5 ANTI JOIN f4 USING (s)), "
+            "k4 AS (SELECT s AS cell FROM f4) "
             "SELECT 'cell' AS grain, cell AS key, count(*) AS n FROM cells GROUP BY 2 "
             "UNION ALL "
             "SELECT 'parent' AS grain, "
             "((cell // 128) // 8) * 16 + ((cell % 128) // 8) AS key, "
-            "count(*) AS n FROM cells GROUP BY 2"
+            "count(*) AS n FROM cells GROUP BY 2 "
+            "UNION ALL SELECT 'compact7', cell, CAST(1 AS BIGINT) FROM k7 "
+            "UNION ALL SELECT 'compact6', cell, CAST(4 AS BIGINT) FROM k6 "
+            "UNION ALL SELECT 'compact5', cell, CAST(16 AS BIGINT) FROM k5 "
+            "UNION ALL SELECT 'compact4', cell, CAST(64 AS BIGINT) FROM k4"
         ),
         "matrix_gc": (
             f"SELECT a.query_id AS id_1, b.query_id AS id_2, round({gc_m}, 0) AS dist_m "

@@ -92,6 +92,56 @@ def cell_center(cell: int, res: int) -> tuple[float, float]:
     return (la0 + la1) / 2.0, (lo0 + lo1) / 2.0
 
 
+def compact_cells(cells, res: int, min_res: int = 0) -> list[tuple[int, int]]:
+    """H3-``compact`` analog: replace every COMPLETE group of 4 sibling
+    cells by its parent, recursively up to ``min_res``. Input: uniform
+    ``res`` cell ids; output: sorted (res', cell') pairs, res' in
+    [min_res, res] — the minimal mixed-resolution set covering exactly
+    the same area. Lossless: :func:`uncompact_cells` inverts it.
+
+    Driver-side (covers are small by construction); the distributed
+    twin for corpus-scale cell relations is
+    ``operators.indexing.compact_cell_set``.
+    """
+    out: list[tuple[int, int]] = []
+    cur = set(int(c) for c in cells)
+    r = res
+    while r > min_res and cur:
+        n = nx(r)
+        pn = nx(r - 1)
+        groups: dict[int, int] = {}
+        for c in cur:
+            y, x = divmod(c, n)
+            p = (y >> 1) * pn + (x >> 1)
+            groups[p] = groups.get(p, 0) + 1
+        full = {p for p, cnt in groups.items() if cnt == 4}
+        for c in cur:
+            y, x = divmod(c, n)
+            if (y >> 1) * pn + (x >> 1) not in full:
+                out.append((r, c))
+        cur = full
+        r -= 1
+    out.extend((r, c) for c in cur)
+    return sorted(out)
+
+
+def uncompact_cells(mixed, res: int) -> list[int]:
+    """Inverse of :func:`compact_cells`: expand (res', cell') pairs to
+    the uniform ``res`` cell set (res' <= res required)."""
+    out: set[int] = set()
+    for r, c in mixed:
+        if r > res:
+            raise ValueError(f"cell at res {r} finer than target {res}")
+        shift = res - r
+        n = nx(r)
+        tn = nx(res)
+        y, x = divmod(int(c), n)
+        for dy in range(1 << shift):
+            for dx in range(1 << shift):
+                out.add(((y << shift) + dy) * tn + (x << shift) + dx)
+    return sorted(out)
+
+
 def k_ring(lat: float, lon: float, res: int, k: int) -> list[int]:
     """Cell ids within Chebyshev distance k of the point's cell.
 

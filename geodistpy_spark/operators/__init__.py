@@ -20,7 +20,8 @@ from .knn import (
     knn_join,
 )
 from .temporal import asof_join
-from .indexing import adaptive_cell_index, cell_density_smooth, geo_bbox, geo_centroid
+from .indexing import (adaptive_cell_index, cell_density_smooth,
+                       compact_cell_set, geo_bbox, geo_centroid)
 from .polygons import (
     geodesic_buffer,
     point_in_polygon_join,
@@ -34,7 +35,8 @@ __all__ = [
     "geodist_dimwise_haversine", "geodist_dimwise_harvesine", "geodist_matrix",
     "geodist_to_many", "greatcircle", "greatcircle_matrix", "haversine_dist", "interpolate",
     "midpoint", "candidate_histogram", "candidate_histogram_from_layout", "geodesic_knn", "knn_join", "asof_join",
-    "adaptive_cell_index", "cell_density_smooth", "geo_bbox", "geo_centroid",
+    "adaptive_cell_index", "cell_density_smooth", "compact_cell_set",
+    "geo_bbox", "geo_centroid",
     "geodesic_buffer", "point_in_polygon_join", "polygon_area",
     "zonal_stats", "point_in_radius", "radius_join",
 ]

@@ -213,3 +213,56 @@ def geo_bbox(df: DataFrame, group_col: str,
     return lats.join(span, on=group_col).select(
         group_col, "n_points", "lat_min", "lat_max",
         "lon_west", "lon_east", "lon_width")
+
+
+def compact_cell_set(cells: DataFrame, res: int, min_res: int = 0,
+                     cell_col: str = "cell") -> DataFrame:
+    """Distributed H3-``compact`` analog: the minimal mixed-resolution
+    representation of a uniform-``res`` cell set — every COMPLETE group
+    of 4 siblings is replaced by its parent, recursively up to
+    ``min_res``. Output: (res: int, cell: long), lossless
+    (``grid.uncompact_cells`` inverts it).
+
+    Per level: one map-side-combined groupBy(parent).count and one
+    left-anti join — both over the CELL relation (distinct cell ids,
+    orders of magnitude smaller than the point corpus), so a full
+    25-level compaction moves only cell ids. Levels promote strictly
+    shrinking relations (only complete parents continue), and the loop
+    runs at most ``res - min_res`` rounds; each round's frames derive
+    from one another linearly, so no per-round lineage pinning is
+    needed at this depth. Use for storing/broadcasting region covers
+    and occupied-cell inventories at corpus scale; driver-side twin for
+    small covers: ``grid.compact_cells``.
+    """
+    if min_res < 0 or min_res > res:
+        raise ValueError(f"min_res {min_res} outside [0, {res}]")
+    parts = []
+    cur = cells.select(F.col(cell_col).cast("long").alias("cell")).distinct()
+    r = res
+    while r > min_res:
+        n = 1 << r
+        pn = 1 << (r - 1)
+        # cell = y * n + x; parent = (y >> 1) * pn + (x >> 1) — pure
+        # bit math (n, pn are powers of two)
+        with_p = cur.withColumn(
+            "__p",
+            F.shiftright(F.col("cell").bitwiseAND(F.lit(n - 1)), 1)
+            + F.shiftright(F.shiftright(F.col("cell"), r), 1) * F.lit(pn),
+        )
+        full = (
+            with_p.groupBy("__p").agg(F.count("*").alias("__c"))
+            .filter(F.col("__c") == 4)
+            .select("__p")
+        )
+        kept = (
+            with_p.join(full, on="__p", how="left_anti")
+            .select(F.lit(r).cast("int").alias("res"), "cell")
+        )
+        parts.append(kept)
+        cur = full.select(F.col("__p").alias("cell"))
+        r -= 1
+    parts.append(cur.select(F.lit(r).cast("int").alias("res"), "cell"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

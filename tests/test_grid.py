@@ -266,3 +266,62 @@ class TestGeoCentroid:
             pos = np.where(pos > 360.0 - 1e-6, pos - 360.0, pos)  # fp wrap
             assert (pos <= r.lon_width + 1e-9).all(), g
             assert abs(r.lat_min - min(la for gg, la, lo in rows if gg == g)) < 1e-12
+
+
+class TestCompactCells:
+    def test_complete_block_promotes_and_roundtrips(self):
+        from geodistpy_spark.grid import compact_cells, uncompact_cells
+
+        # all 16 res-7 descendants of one res-5 cell -> exactly that cell
+        block = [(160 + dy) * 128 + 80 + dx for dy in range(4) for dx in range(4)]
+        assert compact_cells(block, 7, min_res=4) == [(5, 40 * 32 + 20)]
+        assert uncompact_cells([(5, 40 * 32 + 20)], 7) == sorted(block)
+        # one missing leaf: its res-6 group stays at res 7, siblings at 6
+        part = block[1:]
+        out = compact_cells(part, 7, min_res=4)
+        assert sum(1 for r, _ in out if r == 7) == 3
+        assert sum(1 for r, _ in out if r == 6) == 3
+        assert uncompact_cells(out, 7) == sorted(part)
+        # min_res floor respected
+        assert all(r >= 6 for r, _ in compact_cells(block, 7, min_res=6))
+
+    def test_distributed_matches_driver_and_is_minimal(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from geodistpy_spark.grid import cell_id_np, compact_cells, nx, uncompact_cells
+        from geodistpy_spark.operators import compact_cell_set
+
+        rng = np.random.default_rng(5)
+        cells = sorted(set(cell_id_np(rng.uniform(-89, 89, 4000),
+                                      rng.uniform(-180, 180, 4000), 7).tolist()))
+        drv = compact_cells(cells, 7, min_res=4)
+        df = spark.createDataFrame([(c,) for c in cells], "cell long")
+        dist = sorted((r["res"], r["cell"])
+                      for r in compact_cell_set(df, 7, min_res=4).collect())
+        assert dist == drv
+        assert uncompact_cells(dist, 7) == cells
+        # minimality: no complete 4-sibling group survives at any level
+        for r in (7, 6, 5):
+            level = [c for rr, c in dist if rr == r]
+            n, pn = nx(r), nx(r - 1)
+            groups = {}
+            for c in level:
+                y, x = divmod(c, n)
+                groups.setdefault((y >> 1) * pn + (x >> 1), 0)
+                groups[(y >> 1) * pn + (x >> 1)] += 1
+            assert all(v < 4 for v in groups.values()), (r, groups)
+
+    def test_edges(self, spark):
+        import pytest as _p
+
+        from geodistpy_spark.grid import compact_cells, uncompact_cells
+        from geodistpy_spark.operators import compact_cell_set
+
+        assert compact_cells([], 7) == []
+        empty = spark.createDataFrame([], "cell long")
+        assert compact_cell_set(empty, 7, min_res=4).count() == 0
+        with _p.raises(ValueError, match="finer"):
+            uncompact_cells([(8, 0)], 7)
+        with _p.raises(ValueError, match="min_res"):
+            compact_cell_set(empty, 7, min_res=9)
