@@ -325,3 +325,23 @@ class TestCompactCells:
             uncompact_cells([(8, 0)], 7)
         with _p.raises(ValueError, match="min_res"):
             compact_cell_set(empty, 7, min_res=9)
+
+    def test_compact_roundtrip_property(self):
+        # property: uncompact(compact(S)) == S for random cell sets at
+        # several densities (incl. near-full grids, where compaction
+        # promotes aggressively)
+        import numpy as np
+
+        from geodistpy_spark.grid import compact_cells, nx, uncompact_cells
+
+        rng = np.random.default_rng(11)
+        res = 5
+        total = nx(res) * nx(res)
+        for frac in (0.05, 0.5, 0.97, 1.0):
+            cells = sorted(rng.choice(total, size=int(total * frac),
+                                      replace=False).tolist())
+            comp = compact_cells(cells, res)
+            assert uncompact_cells(comp, res) == cells, frac
+            assert len(comp) <= len(cells)
+        # full grid collapses to the single res-0 cell
+        assert compact_cells(range(total), res) == [(0, 0)]
