@@ -33,7 +33,7 @@ import argparse
 import sys
 
 
-def main(argv=None):
+def main(argv=None, stop_session: bool = True):
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", required=True, help="flat documents table "
                     "(doc_id, text[, lang])")
@@ -119,7 +119,8 @@ def main(argv=None):
           f"this run, {n_in} docs in -> {n} curated rows committed at "
           f"{args.out}")
     keep.unpersist()
-    spark.stop()
+    if stop_session:  # False when embedded in a host that owns the session
+        spark.stop()
     return 0
 
 

@@ -68,3 +68,45 @@ class TestCheckpointResume:
         )
         assert set(counts.c) == set(range(6))
         assert counts["count"].sum() == docs.count()
+
+
+class TestCurationJob:
+    def test_curation_pipeline_runs_and_resumes(self, spark, tmp_path):
+        # job-level smoke of jobs/curation_pipeline.py via main(): the
+        # curated survivor count equals the dedup_near(keep='best')
+        # survivor count on the same corpus, and a re-run executes 0
+        # chunks with the identical committed rows
+        import io
+        import sys as _sys
+        from contextlib import redirect_stdout
+
+        _sys.path.insert(0, "jobs")
+        import curation_pipeline
+
+        from geodistpy_spark.textops import dedup_near
+
+        docs_path = "/root/testdata/sf0.001/documents.parquet"
+        out = str(tmp_path / "curated")
+        argv = ["--docs", docs_path, "--out", out, "--chunks", "2",
+                "--threshold", "0.5"]
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            assert curation_pipeline.main(argv, stop_session=False) == 0
+        first = buf.getvalue().strip().splitlines()[-1]
+        assert "2 chunks executed" in first, first
+
+        expected = dedup_near(spark.read.parquet(docs_path),
+                              threshold=0.5, keep="best",
+                              score_col="n_chars").count()
+        # read back through the run's own result reader
+        from geodistpy_spark.plans import CheckpointedRun
+
+        res = CheckpointedRun(out, key_col="doc_id", n_chunks=2).result(spark)
+        assert res.count() == expected
+        assert res.filter(res.quality.isNull()).count() == 0
+
+        buf2 = io.StringIO()
+        with redirect_stdout(buf2):
+            assert curation_pipeline.main(argv, stop_session=False) == 0
+        second = buf2.getvalue().strip().splitlines()[-1]
+        assert "0 chunks executed" in second, second
