@@ -830,15 +830,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_minhash_signatures(spark, sf_dir):
         from geodistpy_spark.textops import minhash_signatures
 
-        return minhash_signatures(_flat_docs(spark, sf_dir))
+        return minhash_signatures(_flat_docs(spark, sf_dir), hash_fn="md5")
 
     def q_lsh_pairs_capped(spark, sf_dir):
         # hot-band cap engaged (drops the fixture's size-3 buckets):
         # gates the scale guard's semantics, not just the uncapped path
-        return lsh_candidate_pairs(_flat_docs(spark, sf_dir), max_band_size=2)
+        return lsh_candidate_pairs(_flat_docs(spark, sf_dir), max_band_size=2,
+                                   hash_fn="md5")
 
     def q_jaccard_pairs(spark, sf_dir):
-        nd = near_duplicates_minhash(_flat_docs(spark, sf_dir), threshold=0.0)
+        nd = near_duplicates_minhash(_flat_docs(spark, sf_dir), threshold=0.0,
+                                     hash_fn="md5")
         return nd.select("id_1", "id_2", "n_inter", "n_1", "n_2",
                          F.round("jaccard", 6).alias("jacc"))
 
@@ -911,7 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from geodistpy_spark.textops import dedup_near
 
         out = dedup_near(_flat_docs(spark, sf_dir), threshold=0.5,
-                         keep="best", score_col="n_chars")
+                         keep="best", score_col="n_chars", hash_fn="md5")
         return out.select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
 
     def q_embedding_topk(spark, sf_dir):
@@ -991,7 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from geodistpy_spark.textops import near_dup_groups
 
         return near_dup_groups(_flat_docs(spark, sf_dir), threshold=0.5,
-                               algorithm="star")
+                               algorithm="star", hash_fn="md5")
 
     def q_cell_density_smooth(spark, sf_dir):
         from geodistpy_spark.operators import cell_density_smooth

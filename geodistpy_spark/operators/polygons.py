@@ -405,12 +405,12 @@ def point_in_polygon_join(points: DataFrame, polygons: DataFrame,
     ``polygons``: (poly_id, name?, ring: array<struct<lat,lon>>).
     ``how='left'`` keeps non-matching points with null poly_id (used by
     zonal stats to count unassigned tiles). On the left path,
-    ``point_id_cols`` names columns forming a unique per-row key: the
-    row surrogate becomes a deterministic ``xxhash64`` over them and no
-    localCheckpoint materialization happens — prefer this whenever a
-    natural key exists (at 10^12 rows the checkpoint is the dominant
-    cost; without keys the nondeterministic-id + checkpoint fallback
-    pins row identity against task retries).
+    ``point_id_cols`` names columns forming a unique per-row key: hits
+    are joined back on those key columns directly (null-safe equality)
+    and no localCheckpoint materialization happens — prefer this
+    whenever a natural key exists (at 10^12 rows the checkpoint is the
+    dominant cost; without keys the nondeterministic-id + checkpoint
+    fallback pins row identity against task retries).
 
     Two physical strategies, identical results:
 
@@ -441,12 +441,13 @@ def point_in_polygon_join(points: DataFrame, polygons: DataFrame,
     if left:
         if point_id_cols:
             # caller names a natural key (unique per row by contract):
-            # a DETERMINISTIC surrogate — xxhash64 over the key columns
-            # — needs no materialization, so the full point relation is
-            # never checkpointed (the 10^12-row path; at that scale a
-            # localCheckpoint of the left side is the dominant cost)
-            pts = pts.withColumn(
-                "__pt", F.xxhash64(*[F.col(c) for c in point_id_cols]))
+            # hits join back on the KEY COLUMNS THEMSELVES, so no
+            # materialization and no hashed surrogate (a 64-bit hash of
+            # the key is NOT injective — at the 10^12-row scale this
+            # path exists for, birthday collisions are certain and
+            # would silently mis-assign poly_id). Null-safe equality:
+            # a null key component still identifies its row.
+            pass
         else:
             # monotonically_increasing_id is NONdeterministic: base and
             # hit below both read this plan, and a task retry / AQE
@@ -493,6 +494,19 @@ def point_in_polygon_join(points: DataFrame, polygons: DataFrame,
             ).drop("__res", "__cell", "__full")
     if how == "inner":
         return hit
+    if point_id_cols:
+        import functools
+        import operator
+
+        keyed = [f"__k_{i}" for i in range(len(point_id_cols))]
+        hit_k = hit.select(
+            *[F.col(c).alias(a) for c, a in zip(point_id_cols, keyed)],
+            "poly_id")
+        cond = functools.reduce(operator.and_, [
+            F.col(c).eqNullSafe(F.col(a))
+            for c, a in zip(point_id_cols, keyed)
+        ])
+        return pts.join(hit_k, cond, "left").drop(*keyed)
     return pts.join(hit.select("__pt", "poly_id"), on="__pt", how="left").drop("__pt")
 
 

@@ -34,7 +34,8 @@ def _norm(a):
 
 def cosine_topk(emb: DataFrame, queries: DataFrame, k: int,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                q_id: str = "query_id", q_vec: str = "q_vec") -> DataFrame:
+                q_id: str = "query_id", q_vec: str = "q_vec",
+                min_parallelism: int | None = None) -> DataFrame:
     """Exact cosine top-k: for every query vector, the k most-similar
     candidate vectors. Queries are collected driver-side (the
     broadcast-small side by contract); scoring is ONE Arrow-batched
@@ -105,6 +106,14 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int,
 
     src = emb.select(F.col(id_col),
                      F.col(vec_col).cast("array<double>").alias("__v"))
+    if min_parallelism:
+        # mapInPandas parallelism = input partitions: a small corpus in
+        # one or two parquet splits pins the matmul to 1-2 tasks no
+        # matter how many cores exist. Round-robin repartition only when
+        # the scan is actually under-split (production 100 TB scans have
+        # splits >> cores, so this stays a no-op there).
+        if src.rdd.getNumPartitions() < min_parallelism:
+            src = src.repartition(min_parallelism)
     partial = src.mapInPandas(_score, out_schema)
     q_id_type = queries.schema[q_id].dataType.simpleString()
     qmap = spark.createDataFrame(
@@ -284,8 +293,18 @@ def codebooks_from_df(df) -> "object":
     import numpy as np
 
     rows = df.select("j", "c", "cv").collect()
+    if not rows:
+        raise ValueError("codebooks_from_df: empty codebook DataFrame")
     m = 1 + max(r["j"] for r in rows)
     ksub = 1 + max(r["c"] for r in rows)
+    # a sparse (j, c) grid would silently zero-fill missing entries and
+    # corrupt every distance computed against the codebook — fail loud
+    if len(rows) != m * ksub:
+        raise ValueError(
+            f"codebooks_from_df: expected dense {m}x{ksub}={m * ksub} "
+            f"(j, c) entries, got {len(rows)} rows")
+    if len({(r["j"], r["c"]) for r in rows}) != len(rows):
+        raise ValueError("codebooks_from_df: duplicate (j, c) entries")
     dsub = len(rows[0]["cv"])
     books = np.zeros((m, ksub, dsub))
     for r in rows:

@@ -1,10 +1,12 @@
 """Deduplication operators for training-data pipelines.
 
 Exact + near-dup (MinHash-LSH, SimHash, n-gram Jaccard, embedding
-cosine). All hash math is built from ``md5`` over explicit strings so
-results are engine-portable: the DuckDB oracle in __spark_entry__.py
-computes byte-identical signatures — the dedup pipeline itself is the
-correctness contract, not just row counts.
+cosine). The MinHash production path hashes shingles to 64-bit
+``xxhash64`` longs (JVM codegen, 8 bytes through every shuffle);
+``hash_fn='md5'`` switches to hex-string hashing built from explicit
+strings so results are engine-portable — the DuckDB oracle in
+__spark_entry__.py computes byte-identical md5 signatures, making the
+dedup pipeline itself the correctness contract, not just row counts.
 
 Scale notes: every operator is groupBy/join-shaped (no UDFs at all in
 the exact/MinHash/SimHash paths — pure codegen'd string/array ops).
@@ -16,6 +18,7 @@ candidate problem into an equi-join on band keys.
 from __future__ import annotations
 
 import math
+import warnings
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -85,23 +88,39 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _seed_hash(s: int, hash_fn: str):
+    """Per-seed uniform hash of the ``shingle`` column.
+
+    - ``xxhash64`` (production default): a JVM-codegen'd 64-bit long —
+      8 bytes through the explode+groupBy shuffle, no string
+      materialization. MIN over int64 is a uniform-hash MIN.
+    - ``md5``: 32-char hex string — 4x the bytes and driver-side string
+      hashing, kept ONLY because DuckDB has md5 but not xxhash64, so
+      the correctness-oracle rows stay bit-mirrorable in ANSI SQL.
+    """
+    if hash_fn == "md5":
+        return F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))
+    if hash_fn == "xxhash64":
+        return F.xxhash64(F.lit(s), F.col("shingle"))
+    raise ValueError(f"unknown hash_fn={hash_fn!r} (xxhash64|md5)")
+
+
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", k: int = 3,
                        n_seeds: int = DEFAULT_SEEDS,
+                       hash_fn: str = "xxhash64",
                        _shingles: DataFrame | None = None) -> DataFrame:
-    """MinHash signature per doc: mh{s} = min over shingles of
-    md5('{s}:' || shingle) — fixed-width hex strings, so string MIN is a
-    uniform hash MIN. One explode + one groupBy shuffle. ``_shingles``
+    """MinHash signature per doc: mh{s} = min over shingles of a
+    seed-keyed uniform hash (see :func:`_seed_hash` for the
+    ``hash_fn`` choices — 64-bit longs by default, md5 hex for oracle
+    portability). One explode + one groupBy shuffle. ``_shingles``
     lets a pipeline share one (cached) shingle relation.
     """
     sh = _shingles if _shingles is not None else shingles(
         df.select(id_col, text_col), text_col, k)
     hashed = sh.select(
         id_col,
-        *[
-            F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle"))).alias(f"h{s}")
-            for s in range(n_seeds)
-        ],
+        *[_seed_hash(s, hash_fn).alias(f"h{s}") for s in range(n_seeds)],
     )
     return hashed.groupBy(id_col).agg(
         *[F.min(f"h{s}").alias(f"mh{s}") for s in range(n_seeds)]
@@ -113,6 +132,7 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                         n_seeds: int = DEFAULT_SEEDS,
                         n_bands: int = DEFAULT_BANDS,
                         max_band_size: int | None = None,
+                        hash_fn: str = "xxhash64",
                         _shingles: DataFrame | None = None) -> DataFrame:
     """Near-dup candidate pairs via LSH banding: docs sharing any band of
     the MinHash signature. Output: (id_1, id_2) with id_1 < id_2.
@@ -127,22 +147,27 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     driver oracle mirrors the uncapped form).
     """
     rows = n_seeds // n_bands
-    sig = minhash_signatures(df, id_col, text_col, k, n_seeds, _shingles=_shingles)
-    bands = sig.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "|",
-                        F.lit(str(b)),
-                        *[F.col(f"mh{b * rows + r}") for r in range(rows)],
-                    ).alias(f"b{b}")
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band_key"),
-    )
+    sig = minhash_signatures(df, id_col, text_col, k, n_seeds, hash_fn,
+                             _shingles=_shingles)
+    if hash_fn == "xxhash64":
+        # band key = one codegen'd 64-bit hash over the band's signature
+        # rows (seeded by the band index) — an 8-byte long through the
+        # self-join shuffle instead of a ~100-char concat string
+        band_cols = [
+            F.xxhash64(F.lit(b), *[F.col(f"mh{b * rows + r}")
+                                   for r in range(rows)]).alias(f"b{b}")
+            for b in range(n_bands)
+        ]
+    else:
+        band_cols = [
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"mh{b * rows + r}") for r in range(rows)],
+            ).alias(f"b{b}")
+            for b in range(n_bands)
+        ]
+    bands = sig.select(id_col, F.explode(F.array(*band_cols)).alias("band_key"))
     if max_band_size is not None:
         sizes = bands.groupBy("band_key").count()
         keep = sizes.filter(F.col("count") <= max_band_size).select("band_key")
@@ -191,13 +216,15 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
 
 def near_duplicates_minhash(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", k: int = 3,
-                            threshold: float = 0.7) -> DataFrame:
+                            threshold: float = 0.7,
+                            hash_fn: str = "xxhash64") -> DataFrame:
     """Full near-dup pipeline: LSH candidates -> exact Jaccard verify.
     The shingle relation is computed ONCE and shared (cached) by the
     signature and verify stages — it is the pipeline's only repeated
     corpus-sized intermediate."""
     sh = shingles(df.select(id_col, text_col), text_col, k).cache()
-    pairs = lsh_candidate_pairs(df, id_col, text_col, k, _shingles=sh)
+    pairs = lsh_candidate_pairs(df, id_col, text_col, k, hash_fn=hash_fn,
+                                _shingles=sh)
     return ngram_jaccard(df, pairs, id_col, text_col, k, _shingles=sh).filter(
         F.col("jaccard") >= threshold
     )
@@ -250,6 +277,8 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
         pairs.select(F.col("id_2").alias("id_1"), F.col("id_1").alias("id_2"))
     ).cache()
     labels = nodes.select(F.col(id_col), F.col(id_col).alias("group_id")).cache()
+    converged = False
+    i = -1
     for i in range(max_iter):
         nbr_min = (
             edges.join(labels.select(F.col(id_col).alias("id_2"), "group_id"), on="id_2")
@@ -269,8 +298,7 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
         labels.unpersist()
         labels = new_labels
         if changed == 0:
-            if stats is not None:
-                stats["rounds"] = i + 1
+            converged = True
             break
         if (i + 1) % checkpoint_every == 0:
             # lineage truncation must happen with OR without a
@@ -283,6 +311,17 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
                          else labels.localCheckpoint(eager=True))
             labels.unpersist()
             labels = truncated
+    # always record rounds + convergence (non-convergence at max_iter
+    # must not be silent: labels may still be moving)
+    if stats is not None:
+        stats["rounds"] = i + 1
+        stats["converged"] = converged
+    if not converged:
+        warnings.warn(
+            f"connected_components(minlabel) hit max_iter={max_iter} "
+            "without converging; labels may not be component minima "
+            "(use algorithm='star' for high-diameter graphs)",
+            stacklevel=2)
     if reliable:
         # materialize the full result BEFORE dropping edges: the changed
         # probe's limit(1) may have cached only some label partitions,
@@ -396,20 +435,23 @@ def _connected_components_star(nodes: DataFrame, pairs: DataFrame,
 def near_dup_groups(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", k: int = 3,
                     threshold: float = 0.7, max_iter: int = 25,
-                    algorithm: str = "minlabel") -> DataFrame:
+                    algorithm: str = "minlabel",
+                    hash_fn: str = "xxhash64") -> DataFrame:
     """Text near-dup components: :func:`connected_components` over the
     transitive closure of :func:`near_duplicates_minhash` pairs at
     ``threshold``. (For embeddings, feed
     :func:`embedding_near_pairs` output into connected_components the
     same way.)"""
-    pairs = near_duplicates_minhash(df, id_col, text_col, k, threshold)
+    pairs = near_duplicates_minhash(df, id_col, text_col, k, threshold,
+                                    hash_fn=hash_fn)
     return connected_components(df, pairs, id_col, max_iter,
                                 algorithm=algorithm)
 
 
 def dedup_near(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                k: int = 3, threshold: float = 0.7,
-               keep: str = "min_id", score_col: str | None = None) -> DataFrame:
+               keep: str = "min_id", score_col: str | None = None,
+               hash_fn: str = "xxhash64") -> DataFrame:
     """Near-duplicate dedup: keep ONE doc per connected component of the
     near-dup graph, all columns preserved.
 
@@ -420,7 +462,8 @@ def dedup_near(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     one. The ranking window partitions by component label, so its cost
     follows cluster sizes, not corpus size.
     """
-    groups = near_dup_groups(df, id_col, text_col, k, threshold)
+    groups = near_dup_groups(df, id_col, text_col, k, threshold,
+                             hash_fn=hash_fn)
     if keep == "min_id":
         keep_ids = groups.filter(F.col(id_col) == F.col("group_id")).select(id_col)
     elif keep == "best":

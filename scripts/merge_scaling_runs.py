@@ -68,26 +68,75 @@ def main(paths):
 
     lo, hi = levels[0], levels[-1]
     factor = int(hi) / int(lo)
-    per_query = {q: round(best[lo][q] / (factor * best[hi][q]), 3)
-                 for q in qnames}
-    sum_lo = sum(best[lo].values())
-    sum_hi = sum(best[hi].values())
     pipe = ("q1_extract_index", "q2_radius_join", "q3_knn_join",
             "q4_pip_zonal")
-    pipe_lo = sum(best[lo][q] for q in pipe)
-    pipe_hi = sum(best[hi][q] for q in pipe)
+
+    # EFFICIENCY is computed within SAME-RUN (lo, hi) pairs only: pairing
+    # one sweep's lo wall with another sweep's hi wall can only inflate
+    # the ratio (each minimum independently picks its least-interfered
+    # sweep). Per query we report the best same-run pair; suite/pipeline
+    # level we report the best AND median whole-run efficiency.
+    def run_eff(r, qset):
+        qs = r["queries_sec"]
+        src = r.get("sources") or {}
+        usable_q = [q for q in qset
+                    if not any(src.get(k) != ref.get(k)
+                               for k in deps.get(q, ()))
+                    and qs.get(lo, {}).get(q) is not None
+                    and qs.get(hi, {}).get(q) is not None]
+        if set(usable_q) != set(qset):
+            return None
+        s_lo = sum(qs[lo][q] for q in qset)
+        s_hi = sum(qs[hi][q] for q in qset)
+        return s_lo / (factor * s_hi)
+
+    per_query = {}
+    per_query_run = {}
+    for q in qnames:
+        effs = [(r["queries_sec"][lo][q] /
+                 (factor * r["queries_sec"][hi][q]), os.path.basename(p))
+                for p, r in usable
+                if not any((r.get("sources") or {}).get(k) != ref.get(k)
+                           for k in deps.get(q, ()))
+                and r["queries_sec"].get(lo, {}).get(q) is not None
+                and r["queries_sec"].get(hi, {}).get(q) is not None]
+        e, p = max(effs)
+        per_query[q] = round(e, 3)
+        per_query_run[q] = p
+
+    suite_effs = sorted(e for e in (run_eff(r, qnames) for _, r in usable)
+                        if e is not None)
+    pipe_effs = sorted(e for e in (run_eff(r, pipe) for _, r in usable)
+                       if e is not None)
+    med = lambda xs: xs[len(xs) // 2] if len(xs) % 2 else \
+        (xs[len(xs) // 2 - 1] + xs[len(xs) // 2]) / 2
+    # timing-info table (best-of-sweeps walls) kept, with a flag for
+    # queries whose lo/hi minima come from different sweeps
+    cross_run = [q for q in qnames
+                 if contributing[lo].get(q) != contributing[hi].get(q)]
     out = {
         "pair": f"local[{lo}]->local[{hi}]",
         "methodology": (
-            f"per-query best-of-{len(usable)}-sweeps per level (each sweep "
-            "itself best-of-2 reps; minimum wall = least co-tenant "
-            "interference on this shared VM), identical source sizing"
+            f"efficiencies from SAME-RUN (lo, hi) pairs only — per query "
+            f"the best same-run pair across {len(usable)} sweeps, "
+            "suite/pipeline the best and median whole-run pair (each "
+            "sweep itself best-of-N reps); cross-run minima are reported "
+            "as walls only, never paired into a ratio"
         ),
         "sources": ref,
-        "suite_efficiency": round(sum_lo / (factor * sum_hi), 3),
-        "pipeline_efficiency": round(pipe_lo / (factor * pipe_hi), 3),
+        "suite_efficiency": round(max(suite_effs), 3) if suite_effs else None,
+        "suite_efficiency_median": round(med(suite_effs), 3) if suite_effs else None,
+        "pipeline_efficiency": round(max(pipe_effs), 3) if pipe_effs else None,
+        "pipeline_efficiency_median": round(med(pipe_effs), 3) if pipe_effs else None,
         "per_query_efficiency": per_query,
+        "per_query_efficiency_run": per_query_run,
         "queries_sec": best,
+        "queries_sec_note": (
+            "per-query minima across sweeps (timing evidence; lo/hi of "
+            "a query may come from different sweeps — see "
+            "cross_run_minima — so ratios are NOT derived from this "
+            "table)"),
+        "cross_run_minima": cross_run,
         "contributing_run": contributing,
         "runs": [os.path.basename(p) for p in paths],
         "note": runs[-1].get("note"),

@@ -432,9 +432,11 @@ class TestPipLeftJoin:
         assert (per_pid[1] == per_pid[2])  # identical dup rows behave alike
 
     def test_left_join_key_cols_skip_checkpoint(self, spark, polygons):
-        # point_id_cols=['pid'] -> deterministic xxhash64 surrogate, NO
-        # localCheckpoint materialization in the plan (round-3 advice:
-        # at 10^12 rows the checkpoint of the left side dominates)
+        # point_id_cols=['pid'] -> hits join back on the NATURAL KEY
+        # itself (round-4 advice: a 64-bit hashed surrogate collides at
+        # the 10^12-row scale this path exists for), and NO
+        # localCheckpoint materialization happens (round-3 advice: at
+        # 10^12 rows the checkpoint of the left side dominates)
         from geodistpy_spark.operators import point_in_polygon_join
 
         pts = spark.range(3).select(
@@ -447,7 +449,8 @@ class TestPipLeftJoin:
         # the lazy Range source must SURVIVE in the plan: the checkpoint
         # fallback would swallow it into a materialized LogicalRDD
         assert "Range (0, 3" in plan, plan
-        assert "xxhash64" in plan.lower()
+        # no hashed surrogate anywhere: the join key is pid itself
+        assert "xxhash64" not in plan.lower(), plan
         fallback = point_in_polygon_join(pts, polygons, how="left")
         fplan = fallback._jdf.queryExecution().optimizedPlan().toString()
         assert "Range (0, 3" not in fplan  # materialized by localCheckpoint
@@ -456,6 +459,27 @@ class TestPipLeftJoin:
         key = lambda df: sorted(
             map(tuple, df[["pid", "poly_id"]].fillna(-1).values))
         assert key(got) == key(ref)
+
+    def test_left_join_key_cols_null_key_component(self, spark, polygons):
+        # a composite key with a NULL component must still round-trip
+        # (null-safe equality on the hit join): the null-key row keeps
+        # its polygon hit instead of being dropped to a null poly_id
+        import pandas as pd
+
+        from geodistpy_spark.operators import point_in_polygon_join
+
+        pts = spark.createDataFrame(
+            [(1, "a", 36.9, -12.0), (2, None, 36.9, -12.0),
+             (3, "c", 0.0, 0.0)],
+            "k1 long, k2 string, lat double, lon double")
+        out = point_in_polygon_join(
+            pts, polygons, how="left",
+            point_id_cols=["k1", "k2"]).toPandas()
+        assert len(out) == 3
+        by_k1 = out.set_index("k1")
+        assert by_k1.loc[1, "poly_id"] == by_k1.loc[2, "poly_id"]
+        assert not pd.isna(by_k1.loc[2, "poly_id"])
+        assert pd.isna(by_k1.loc[3, "poly_id"])
 
 
 class TestAsofJoin:
