@@ -638,13 +638,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- geo: iterative kernels, value-gated against mpmath goldens ----
     def q_vincenty_pairs(spark, sf_dir):
+        # second column pair (ref80_m, ok80): the SAME pairs on GRS-80
+        # via resolve_ellipsoid — gates the ellipsoid registry and the
+        # (a, f) plumbing end-to-end (round-4 verdict gap: every other
+        # Vincenty row bakes WGS-84 into its closure)
         df = _pair_points(spark, sf_dir)
         g = spark.read.parquet(f"{FIXTURE_GOLDEN}/inverse.parquet") \
             .select("id", "s_m")
-        out = geodist(df.join(g, on="id"), "lat1", "lon1", "lat2", "lon2")
+        g80 = spark.read.parquet(f"{FIXTURE_GOLDEN}/inverse_grs80.parquet") \
+            .select("id", F.col("s_m").alias("s80_m"))
+        out = geodist(df.join(g, on="id").join(g80, on="id"),
+                      "lat1", "lon1", "lat2", "lon2")
+        out = geodist(out, "lat1", "lon1", "lat2", "lon2",
+                      ellipsoid="GRS-80", out="dist80")
         return out.select(
             "id", _r0(F.col("s_m")).alias("ref_m"),
-            (F.abs(F.col("dist") - F.col("s_m")) <= GOLDEN_DIST_TOL_M).alias("ok"))
+            (F.abs(F.col("dist") - F.col("s_m")) <= GOLDEN_DIST_TOL_M).alias("ok"),
+            (F.abs(F.col("dist80") - F.col("s80_m")) <= GOLDEN_DIST_TOL_M).alias("ok80"))
 
     def q_bearing_vincenty(spark, sf_dir):
         df = _pair_points(spark, sf_dir)
@@ -1327,8 +1337,11 @@ def oracle_sql() -> dict[str, str]:
         # The customer join restricts the golden rows to the ids present
         # at the current scale factor (goldens cover custkey 0..1499).
         "vincenty_pairs": (
-            "SELECT g.id, round(g.s_m, 0) AS ref_m, TRUE AS ok "
+            "SELECT g.id, round(g.s_m, 0) AS ref_m, TRUE AS ok, "
+            "TRUE AS ok80 "
             f"FROM read_parquet('{FIXTURE_GOLDEN}/inverse.parquet') g "
+            f"JOIN read_parquet('{FIXTURE_GOLDEN}/inverse_grs80.parquet') g80 "
+            "ON g80.id = g.id "
             "JOIN customer c ON c.c_custkey = g.id"
         ),
         "bearing_vincenty": (
