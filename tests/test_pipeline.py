@@ -59,6 +59,63 @@ class TestCheckpointResume:
         again = CheckpointedRun(str(tmp_path / "noop"), n_chunks=3)
         assert again.run(docs, _transform) == []
 
+    def test_snapshot_time_travel_byte_identical(self, spark, docs, tmp_path):
+        # Iceberg analog: snapshot v1, recompute with a DIFFERENT
+        # transform (pointer move), snapshot v2 — reading snapshot 1
+        # afterwards must return v1's rows byte-identically while
+        # result() returns v2's
+        run = CheckpointedRun(str(tmp_path / "tt"), n_chunks=3)
+        run.run(docs, _transform)
+        s1 = run.snapshot(note="v1")
+        v1 = _canon(run.result(spark).toPandas())
+
+        def _transform_v2(chunk):
+            return _transform(chunk).filter(F.col("span_idx") == 0)
+
+        run.invalidate()
+        assert run.run(docs, _transform_v2) == [0, 1, 2]
+        s2 = run.snapshot(note="v2")
+        assert (s1, s2) == (1, 2)
+
+        v2 = _canon(run.result(spark).toPandas())
+        assert len(v2) < len(v1)
+        back1 = _canon(run.read_snapshot(spark, snapshot_id=1).toPandas())
+        pd.testing.assert_frame_equal(back1, v1)
+        back2 = _canon(run.read_snapshot(spark).toPandas())  # latest
+        pd.testing.assert_frame_equal(back2, v2)
+        # as_of selection: v1's timestamp resolves to snapshot 1
+        snaps = run.snapshots()
+        as_of = _canon(run.read_snapshot(spark, as_of=snaps[0]["ts"]).toPandas())
+        pd.testing.assert_frame_equal(as_of, v1)
+        # manifests carry lineage: totals match the read rows
+        assert snaps[0]["total_rows"] == len(v1)
+        assert snaps[1]["total_rows"] == len(v2)
+
+    def test_vacuum_keeps_snapshot_and_current_data(self, spark, docs, tmp_path):
+        import os
+
+        run = CheckpointedRun(str(tmp_path / "vac"), n_chunks=2)
+        run.run(docs, _transform)
+        run.snapshot()
+        v1 = _canon(run.result(spark).toPandas())
+        # orphan exec: recompute WITHOUT snapshotting, then again with
+        run.invalidate()
+        run.run(docs, _transform)          # exec-1 (becomes orphan)
+        run.invalidate()
+        run.run(docs, _transform)          # exec-2 (current)
+        removed = run.vacuum()
+        assert removed and all("exec-1" in r for r in removed)
+        # snapshot 1 still readable byte-identically; current result too
+        pd.testing.assert_frame_equal(
+            _canon(run.read_snapshot(spark, snapshot_id=1).toPandas()), v1)
+        pd.testing.assert_frame_equal(_canon(run.result(spark).toPandas()), v1)
+        # vacuum is stable: second call removes nothing
+        assert run.vacuum() == []
+        # exec-0 (snapshotted) and exec-2 (current) survive on disk
+        for i in range(2):
+            execs = sorted(os.listdir(tmp_path / "vac" / f"chunk={i}"))
+            assert execs == ["exec-0", "exec-2"]
+
     def test_chunking_is_deterministic_partition(self, spark, docs):
         from geodistpy_spark.plans import chunk_of
 
