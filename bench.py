@@ -236,12 +236,11 @@ def run_bench(spark, sf_dir: str) -> dict[str, float]:
         else f"{sf_dir}/embeddings.parquet")
     qv = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
-    # min_parallelism: the bench emb table sits in few big parquet
-    # splits, which caps the matmul stage below the core count at low
-    # parallelism levels (q7's 0.73 sweep efficiency in r4); 3 batches
-    # per core keeps the stage balanced at every sweep level
-    timed("q7_embed_topk", lambda: cosine_topk(
-        emb, qv, 10, min_parallelism=3 * int(CPUS)).count())
+    # measured: an explicit repartition (cosine_topk min_parallelism)
+    # LOSES here — the matmul pass is cheaper than the extra shuffle at
+    # these sizes, and the r4 "0.73 q7 efficiency" turned out to be a
+    # cross-run pairing artifact (same-run pairs are >= 0.99)
+    timed("q7_embed_topk", lambda: cosine_topk(emb, qv, 10).count())
 
     # q8: span-sequence roundtrip verification over the full docs table
     # (single-pass: original fingerprint + explode + reassembly fp in

@@ -129,36 +129,193 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int,
     )
 
 
-def train_centroids(emb: DataFrame, n_cells: int, n_iters: int = 5,
-                    sample_size: int = 4096, id_col: str = "vec_id",
-                    vec_col: str = "embedding"):
-    """Deterministic k-means on a driver-side sample (Lloyd iterations).
+def cosine_topk_grid(emb: DataFrame, queries: DataFrame, k: int,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     q_id: str = "query_id", q_vec: str = "q_vec",
+                     emb_block_rows: int = 262_144,
+                     query_block_rows: int = 4_096) -> DataFrame:
+    """Exact cosine top-k for LARGE query sets — no driver collect.
 
-    Sample = the ``sample_size`` smallest ids (deterministic, resumable —
-    no RNG in the data path); init = first n_cells of the sample (k-means++
-    would add RNG for marginal gain at this K). Returns a list of
-    unit-normalized centroid vectors. At 100 TB the sample collect is a
-    partition-pruned scan of a few thousand rows — trivially cheap next
-    to the assignment pass, which stays fully distributed.
+    :func:`cosine_topk` collects the query vectors (broadcast-small by
+    contract); this variant is the scale escape hatch when the query
+    side is itself a big relation (10^6+ rows). Block-nested-loop
+    shape: both sides are hash-bucketed into blocks, a tiny (eb, qb)
+    grid relation pairs every emb block with every query block, and a
+    cogrouped ``applyInPandas`` scores each (emb block x query block)
+    cell with one BLAS matmul, reducing to per-query top-k INSIDE the
+    cell before any exchange. A final window keeps global top-k.
+
+    Cost model: exact all-pairs is N x M dot products no matter what;
+    the knobs bound per-task memory (block sizes) and the replication
+    factor (emb shuffled n_query_blocks times, queries n_emb_blocks
+    times) — at 100 TB you pick block sizes so the replicated shuffle
+    stays disk-friendly, or switch to :func:`ivf_topk` for sublinear
+    probing. Output schema/tie-breaks identical to :func:`cosine_topk`.
     """
     import numpy as np
 
-    pdf = (
-        emb.orderBy(F.col(id_col).asc()).limit(sample_size)
+    spark = emb.sparkSession
+    n_emb = emb.count()
+    n_q = queries.count()
+    result_schema = T.StructType([
+        T.StructField(q_id, queries.schema[q_id].dataType),
+        T.StructField(id_col, emb.schema[id_col].dataType),
+        T.StructField("cosine", T.DoubleType()),
+        T.StructField("rank", T.IntegerType()),
+    ])
+    if n_q == 0 or n_emb == 0:
+        return spark.createDataFrame([], result_schema)
+    neb = max(1, -(-n_emb // emb_block_rows))
+    nqb = max(1, -(-n_q // query_block_rows))
+
+    e = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(neb)).cast("int").alias("__eb"))
+    qd = queries.select(
+        F.col(q_id), F.col(q_vec).cast("array<double>").alias("__qv"),
+        F.pmod(F.xxhash64(F.col(q_id)), F.lit(nqb)).cast("int").alias("__qb"))
+    grid = spark.range(neb).crossJoin(
+        spark.range(nqb).select(F.col("id").alias("__qb"))).select(
+        F.col("id").cast("int").alias("__eb"), F.col("__qb").cast("int"))
+    # replicate each side across the other's blocks (broadcast the tiny
+    # grid so the replication is a map-side join, not a shuffle)
+    e_rep = e.join(F.broadcast(grid), on="__eb")
+    q_rep = qd.join(F.broadcast(grid.select("__eb", "__qb")), on="__qb")
+
+    cell_schema = T.StructType([
+        T.StructField(q_id, queries.schema[q_id].dataType),
+        T.StructField(id_col, emb.schema[id_col].dataType),
+        T.StructField("cosine", T.DoubleType()),
+    ])
+
+    def _cell(epdf, qpdf):
+        import pandas as pd
+
+        eok = epdf["__v"].map(lambda v: v is not None)
+        epdf = epdf[eok]
+        qok = qpdf["__qv"].map(lambda v: v is not None)
+        qpdf = qpdf[qok]
+        if not len(epdf) or not len(qpdf):
+            # cogroup hands a ZERO-COLUMN frame for an absent side, so
+            # build the empty result without touching the inputs (the
+            # Arrow writer casts empty object columns to cell_schema)
+            return pd.DataFrame({q_id: pd.Series(dtype="object"),
+                                 id_col: pd.Series(dtype="object"),
+                                 "cosine": pd.Series(dtype="float64")})
+        X = np.stack(epdf["__v"].values)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        Q = np.stack(qpdf["__qv"].values)
+        Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+        S = Xn @ Qn.T  # (B, nq_cell)
+        ids = epdf[id_col].values
+        qids = qpdf[q_id].values
+        frames = []
+        for qi in range(len(qids)):
+            s = S[:, qi]
+            order = np.lexsort((ids, -s))[:k]
+            frames.append(pd.DataFrame(
+                {q_id: qids[qi], id_col: ids[order], "cosine": s[order]}))
+        return pd.concat(frames, ignore_index=True)
+
+    partial = (
+        e_rep.groupby("__eb", "__qb")
+        .cogroup(q_rep.groupby("__eb", "__qb"))
+        .applyInPandas(_cell, cell_schema)
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(),
+                                         F.col(id_col).asc())
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, id_col, "cosine", "rank")
+    )
+
+
+def train_centroids(emb: DataFrame, n_cells: int, n_iters: int = 5,
+                    sample_size: int = 4096, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    distributed: bool = False):
+    """Deterministic spherical k-means (Lloyd iterations).
+
+    Default: trains on a driver-side sample — the ``sample_size``
+    smallest ids (deterministic, resumable — no RNG in the data path);
+    init = first n_cells of the sample (k-means++ would add RNG for
+    marginal gain at this K). Returns a list of unit-normalized
+    centroid vectors. At 100 TB the sample collect is a
+    partition-pruned scan of a few thousand rows — trivially cheap next
+    to the assignment pass, which stays fully distributed.
+
+    ``distributed=True``: full-corpus Lloyd — each iteration is ONE
+    Arrow-batched ``mapInPandas`` pass emitting per-batch partial sums
+    (cell, count, sum-vector; <= batches x n_cells tiny rows), reduced
+    on the driver. Same deterministic init, same spherical update
+    (centroid = normalized member sum), so on a corpus the sample
+    covers entirely the two trainers agree to fp round-off. Use when a
+    sampled draw could miss cluster structure (10^9+ vectors, rare
+    modes); cost = n_iters full scans, each embarrassingly parallel.
+    """
+    import numpy as np
+
+    init = (
+        emb.orderBy(F.col(id_col).asc()).limit(n_cells if distributed
+                                               else sample_size)
         .select(F.col(vec_col).cast("array<double>").alias("v"))
         .toPandas()
     )
-    X = np.stack(pdf["v"].values)
+    X = np.stack(init["v"].values)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     C = X[:n_cells].copy()
+    if not distributed:
+        for _ in range(n_iters):
+            sims = X @ C.T
+            assign = sims.argmax(axis=1)
+            for c in range(n_cells):
+                members = X[assign == c]
+                if len(members):
+                    m = members.sum(axis=0)
+                    C[c] = m / max(np.linalg.norm(m), 1e-12)
+        return [[float(x) for x in row] for row in C]
+
+    dim = C.shape[1]
+    src = emb.select(F.col(vec_col).cast("array<double>").alias("__v"))
+    part_schema = T.StructType([
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.ArrayType(T.DoubleType())),
+    ])
     for _ in range(n_iters):
-        sims = X @ C.T
-        assign = sims.argmax(axis=1)
+        Cb = C.copy()
+
+        def _partials(pdfs, Cb=Cb):
+            import pandas as pd
+
+            for pdf in pdfs:
+                ok = pdf["__v"].map(lambda v: v is not None and len(v) == dim)
+                pdf = pdf[ok]
+                if not len(pdf):
+                    continue
+                V = np.stack(pdf["__v"].values)
+                V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True),
+                                   1e-12)
+                assign = (V @ Cb.T).argmax(axis=1)
+                cells, counts = np.unique(assign, return_counts=True)
+                sums = np.zeros((len(cells), dim))
+                for k, c in enumerate(cells):
+                    sums[k] = V[assign == c].sum(axis=0)
+                yield pd.DataFrame({"cell": cells.astype("int32"),
+                                    "n": counts.astype("int64"),
+                                    "s": list(sums)})
+
+        rows = src.mapInPandas(_partials, part_schema).collect()
+        # deterministic driver reduce: fixed accumulation order
+        agg_n = np.zeros(n_cells)
+        agg_s = np.zeros((n_cells, dim))
+        for r in sorted(rows, key=lambda r: (r["cell"], r["n"], tuple(r["s"]))):
+            agg_n[r["cell"]] += r["n"]
+            agg_s[r["cell"]] += np.asarray(r["s"])
         for c in range(n_cells):
-            members = X[assign == c]
-            if len(members):
-                m = members.sum(axis=0)
-                C[c] = m / max(np.linalg.norm(m), 1e-12)
+            if agg_n[c]:
+                C[c] = agg_s[c] / max(np.linalg.norm(agg_s[c]), 1e-12)
     return [[float(x) for x in row] for row in C]
 
 

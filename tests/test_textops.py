@@ -625,6 +625,87 @@ class TestIvfPq:
         assert (got.groupby("query_id").vec_id.count() <= 5).all()
 
 
+class TestCosineTopkGrid:
+    def test_grid_matches_collect_path(self, spark):
+        # the no-driver-collect block-nested-loop path must return the
+        # exact rows of the collect path, including tie-breaks — forced
+        # through a real multi-cell grid by tiny block sizes
+        import pandas as pd
+
+        from geodistpy_spark.textops import cosine_topk, cosine_topk_grid
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") % 37 == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_vec"))
+        ref = cosine_topk(emb, q, 7).toPandas() \
+            .sort_values(["query_id", "rank"]).reset_index(drop=True)
+        got = cosine_topk_grid(emb, q, 7, emb_block_rows=64,
+                               query_block_rows=3).toPandas() \
+            .sort_values(["query_id", "rank"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, ref)
+
+    def test_grid_empty_queries(self, spark):
+        from geodistpy_spark.textops import cosine_topk_grid
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        empty_q = emb.filter(F.col("vec_id") < 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_vec"))
+        assert cosine_topk_grid(emb, empty_q, 5).count() == 0
+
+
+class TestDistributedLloyd:
+    def test_distributed_matches_sampled_on_covered_corpus(self, spark):
+        # when the sample covers the whole corpus, sampled and
+        # distributed Lloyd see identical data from the identical init,
+        # so the centroids must agree to fp round-off (the distributed
+        # path differs only in partial-sum accumulation order)
+        import numpy as np
+
+        from geodistpy_spark.textops.ann import train_centroids
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        n = emb.count()
+        sampled = np.asarray(train_centroids(emb, 8, sample_size=n))
+        dist = np.asarray(train_centroids(emb, 8, distributed=True))
+        assert np.allclose(sampled, dist, atol=1e-9), \
+            np.abs(sampled - dist).max()
+
+    def test_distributed_centroids_drive_ivf_recall(self, spark):
+        from geodistpy_spark.textops import cosine_topk, ivf_topk
+        from geodistpy_spark.textops.ann import train_centroids
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cents = train_centroids(emb, 8, distributed=True)
+        q = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_vec"))
+        exact = cosine_topk(emb, q, 5).toPandas()
+        got = ivf_topk(emb, q, 5, n_cells=8, n_probe=4,
+                       centroids=cents).toPandas()
+        hit = set(map(tuple, got[["query_id", "vec_id"]].values))
+        want = set(map(tuple, exact[["query_id", "vec_id"]].values))
+        assert len(hit & want) / len(want) >= 0.5
+
+    def test_distributed_ignores_malformed_vectors(self, spark):
+        import numpy as np
+
+        from geodistpy_spark.textops.ann import train_centroids
+
+        base = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet").limit(64)
+        dim = len(base.first()["embedding"])
+        bad = spark.createDataFrame(
+            [(10_001, None), (10_002, [1.0] * (dim - 1))],
+            f"vec_id long, embedding array<double>")
+        merged = base.select("vec_id",
+                             F.col("embedding").cast("array<double>")
+                             .alias("embedding")).unionByName(bad)
+        C = np.asarray(train_centroids(merged, 4, distributed=True))
+        assert C.shape == (4, dim) and np.isfinite(C).all()
+
+
 class TestAnnFixtures:
     def test_fixture_index_matches_fresh_training(self, spark):
         # the committed centroid/codebook fixtures must reproduce the
