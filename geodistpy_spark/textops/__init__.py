@@ -42,6 +42,7 @@ from .multimodal import (
     resize_media,
     sample_frames,
 )
+from .pixels import decode_pixels, pixel_features
 from .sampling import (
     decontaminate,
     hash_split,
@@ -57,5 +58,6 @@ __all__ = [
     "minhash_signatures", "connected_components", "near_dup_groups", "dedup_near",
     "near_duplicates_minhash", "ngram_jaccard",
     "shingles", "simhash", "simhash_near_pairs", "tokenize", "decode_media",
+    "decode_pixels", "pixel_features",
     "fetch_media_bytes", "media_feature_pipeline", "resize_media", "sample_frames",
 ]

@@ -4,15 +4,21 @@ Media payloads are opaque ``binary`` columns with typed metadata; the
 Spark-side plumbing (schemas, partitioning, Arrow batch shapes,
 ``mapInPandas`` signatures) is real and tested.
 
-The decode is REAL at the container-header level: PNG / BMP / GIF /
-JPEG-SOF / WEBP (VP8, VP8L, VP8X) / TIFF-IFD dimensions are parsed from
-the payload bytes (pure byte math, no codec libraries needed —
-:func:`parse_image_header`). PIXEL-level
-decoding (and hence real feature extraction) would need codec libraries
-absent from this environment, so features are a deterministic function
-of the payload bytes, and unknown container formats either raise
-(``fake=False``) or get deterministic pseudo-dimensions (``fake=True``)
-— clearly marked.
+The decode is REAL at two levels:
+
+- container headers: PNG / BMP / GIF / JPEG-SOF / WEBP (VP8, VP8L,
+  VP8X) / TIFF-IFD dimensions parsed from the payload bytes (pure byte
+  math — :func:`parse_image_header`);
+- pixels: PNG (stdlib zlib inflate + scanline unfiltering), BMP
+  (uncompressed rows) and GIF (LZW) are fully pixel-decoded by
+  :mod:`.pixels`, and ``decode_media(..., fake=False)`` computes its
+  feature column from the true pixel values.
+
+JPEG / WebP / TIFF pixel streams need entropy codecs absent from this
+environment: for those (and unrecognized payloads) ``fake=False``
+raises, while ``fake=True`` keeps the deterministic byte-derived
+stand-in features + pseudo-dimensions (oracle-mirrorable) — clearly
+marked.
 """
 
 from __future__ import annotations
@@ -162,38 +168,53 @@ def fetch_media_bytes(media_spans: DataFrame) -> DataFrame:
 def decode_media(media_with_bytes: DataFrame, fake: bool = True) -> DataFrame:
     """Decode binary media -> (format, dimensions, feature vector).
 
-    Dimensions are REAL for recognized containers (PNG/BMP/GIF/JPEG
-    header parse). For unrecognized payloads: ``fake=True`` derives
-    deterministic pseudo-dimensions from the leading bytes (format
-    'raw'); ``fake=False`` raises NotImplementedError from the executors
-    (pixel codecs absent in this environment). Features are a
-    deterministic byte-derived stand-in either way — the Arrow batch
-    shape, output schema, and partition behavior match a real decoder.
+    ``fake=False`` is the REAL path: PNG/BMP/GIF payloads are pixel-
+    decoded (stdlib zlib + numpy — :mod:`.pixels`), dimensions come
+    from the decoded array, and ``features`` is
+    :func:`.pixels.pixel_features` computed from true pixel values.
+    Containers whose pixel streams need absent codec libraries
+    (JPEG/WebP/TIFF) or unrecognized payloads raise NotImplementedError
+    from the executors.
+
+    ``fake=True`` is the plumbing/oracle path: dimensions are real for
+    recognized container headers, pseudo-dimensions are derived from
+    leading bytes otherwise (format 'raw'), and features are a
+    deterministic byte-derived stand-in that a SQL oracle can mirror.
+    The Arrow batch shape, output schema, and partition behavior are
+    identical in both modes.
     """
+    from .pixels import decode_pixels, pixel_features
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             fmts, widths, heights = [], [], []
+            real_feats: list[np.ndarray] = []
             for p in pdf["payload"]:
-                hdr = parse_image_header(bytes(p))
+                b = bytes(p)
+                if not fake:
+                    fmt, img = decode_pixels(b)  # raises for jpeg/webp/raw
+                    fmts.append(fmt)
+                    heights.append(img.shape[0])
+                    widths.append(img.shape[1])
+                    real_feats.append(pixel_features(img))
+                    continue
+                hdr = parse_image_header(b)
                 if hdr is not None:
                     fmts.append(hdr[0]); widths.append(hdr[1]); heights.append(hdr[2])
-                elif fake:
-                    u0, u1 = struct.unpack("<HH", bytes(p[:4]))
+                else:
+                    u0, u1 = struct.unpack("<HH", b[:4])
                     fmts.append("raw")
                     widths.append(u0 % 1920 + 16)
                     heights.append(u1 % 1080 + 16)
-                else:
-                    raise NotImplementedError(
-                        "unrecognized media container (PNG/BMP/GIF/JPEG headers "
-                        "supported); pixel-level codecs are not present in this "
-                        "environment — run with fake=True for plumbing tests"
-                    )
-            raw = np.stack([
-                np.frombuffer(bytes(p[-MEDIA_FEATURE_DIM * 4:]), dtype=np.uint8)
-                for p in pdf["payload"]
-            ])
-            feats = raw.reshape(len(pdf), MEDIA_FEATURE_DIM, 4).sum(axis=2) / 1020.0
+            if fake:
+                raw = np.stack([
+                    np.frombuffer(bytes(p[-MEDIA_FEATURE_DIM * 4:]), dtype=np.uint8)
+                    for p in pdf["payload"]
+                ])
+                feats = list((raw.reshape(len(pdf), MEDIA_FEATURE_DIM, 4)
+                              .sum(axis=2) / 1020.0).astype(np.float32))
+            else:
+                feats = real_feats
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "span_idx": pdf["span_idx"],
@@ -202,7 +223,7 @@ def decode_media(media_with_bytes: DataFrame, fake: bool = True) -> DataFrame:
                 "width": np.asarray(widths, dtype="int32"),
                 "height": np.asarray(heights, dtype="int32"),
                 "n_bytes": pdf["payload"].str.len().astype("int64"),
-                "features": list(feats.astype(np.float32)),
+                "features": feats,
             })
 
     return media_with_bytes.mapInPandas(gen, schema=DECODED_SCHEMA)
@@ -277,10 +298,11 @@ def resize_media(media_with_bytes: DataFrame, out_h: int = 8,
     with ``pixels`` a row-major array<float> of length out_h * out_w.
 
     The RESIZE math (vectorized numpy bilinear over the Arrow batch) is
-    real; the SOURCE grid is the honest stand-in for the absent pixel
-    codecs — a deterministic sha256-stream luminance grid at the
-    header's true aspect ratio (clamped to 16x16 samples). Swapping the
-    stand-in for a real decoder changes one function, not the plumbing.
+    real, and so is the SOURCE grid for PNG/BMP/GIF payloads: they are
+    pixel-decoded (:mod:`.pixels`) to a true Rec.601 luminance grid.
+    Payloads whose codecs are absent (JPEG/WebP/TIFF/raw) fall back to
+    a deterministic sha256-stream luminance grid at the header's true
+    aspect ratio (clamped to 16x16 samples) — the honest stand-in.
     """
     if out_h < 1 or out_w < 1:
         raise ValueError(f"output shape must be >= 1x1, got {out_h}x{out_w}")
@@ -291,6 +313,16 @@ def resize_media(media_with_bytes: DataFrame, out_h: int = 8,
     )
 
     def _src_grid(p: bytes):
+        # real path first: PNG/BMP/GIF decode to a true luminance grid
+        from .pixels import decode_pixels
+        try:
+            _, img = decode_pixels(p)
+        except (NotImplementedError, ValueError):
+            img = None
+        if img is not None:
+            f = img.astype(np.float64) / 255.0
+            lum = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+            return img.shape[0], img.shape[1], lum
         hdr = parse_image_header(p)
         if hdr is not None:
             _, w, h = hdr

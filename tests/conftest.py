@@ -4,6 +4,8 @@ import sys
 import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# test-support modules (media_encoders, truth_geodesic) import as flat names
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from geodistpy_spark import get_spark  # noqa: E402
 from geodistpy_spark.sources.fixtures import ensure_default_fixtures  # noqa: E402

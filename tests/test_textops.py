@@ -458,7 +458,11 @@ class TestMultimodal:
 
         spans = extract_media_spans(docs.limit(20)).select("doc_id", "span_idx", "media_ref")
         wb = fetch_media_bytes(spans)
-        with pytest.raises(Exception, match="NotImplementedError|codec"):
+        # synthetic payloads are header-only stubs: PNG/BMP kinds fail
+        # the real pixel decode as truncated streams, raw kinds as
+        # codec-less containers — either way fake=False must refuse
+        with pytest.raises(Exception,
+                           match="NotImplementedError|codec|truncated|missing"):
             decode_media(wb, fake=False).count()
 
 
