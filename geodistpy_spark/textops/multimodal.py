@@ -10,12 +10,13 @@ The decode is REAL at two levels:
   VP8X) / TIFF-IFD dimensions parsed from the payload bytes (pure byte
   math — :func:`parse_image_header`);
 - pixels: PNG (stdlib zlib inflate + scanline unfiltering), BMP
-  (uncompressed rows) and GIF (LZW) are fully pixel-decoded by
-  :mod:`.pixels`, and ``decode_media(..., fake=False)`` computes its
-  feature column from the true pixel values.
+  (uncompressed rows), GIF (LZW) and baseline JPEG (Huffman + IDCT)
+  are fully pixel-decoded by :mod:`.pixels`, and
+  ``decode_media(..., fake=False)`` computes its feature column from
+  the true pixel values.
 
-JPEG / WebP / TIFF pixel streams need entropy codecs absent from this
-environment: for those (and unrecognized payloads) ``fake=False``
+Progressive-JPEG / WebP / TIFF pixel streams need codec machinery out
+of scope here: for those (and unrecognized payloads) ``fake=False``
 raises, while ``fake=True`` keeps the deterministic byte-derived
 stand-in features + pseudo-dimensions (oracle-mirrorable) — clearly
 marked.
@@ -168,13 +169,13 @@ def fetch_media_bytes(media_spans: DataFrame) -> DataFrame:
 def decode_media(media_with_bytes: DataFrame, fake: bool = True) -> DataFrame:
     """Decode binary media -> (format, dimensions, feature vector).
 
-    ``fake=False`` is the REAL path: PNG/BMP/GIF payloads are pixel-
-    decoded (stdlib zlib + numpy — :mod:`.pixels`), dimensions come
-    from the decoded array, and ``features`` is
+    ``fake=False`` is the REAL path: PNG/BMP/GIF/baseline-JPEG payloads
+    are pixel-decoded (stdlib zlib + numpy — :mod:`.pixels`),
+    dimensions come from the decoded array, and ``features`` is
     :func:`.pixels.pixel_features` computed from true pixel values.
-    Containers whose pixel streams need absent codec libraries
-    (JPEG/WebP/TIFF) or unrecognized payloads raise NotImplementedError
-    from the executors.
+    Containers whose pixel streams need absent codec machinery
+    (progressive JPEG/WebP/TIFF) or unrecognized payloads raise
+    NotImplementedError from the executors.
 
     ``fake=True`` is the plumbing/oracle path: dimensions are real for
     recognized container headers, pseudo-dimensions are derived from
@@ -298,11 +299,12 @@ def resize_media(media_with_bytes: DataFrame, out_h: int = 8,
     with ``pixels`` a row-major array<float> of length out_h * out_w.
 
     The RESIZE math (vectorized numpy bilinear over the Arrow batch) is
-    real, and so is the SOURCE grid for PNG/BMP/GIF payloads: they are
-    pixel-decoded (:mod:`.pixels`) to a true Rec.601 luminance grid.
-    Payloads whose codecs are absent (JPEG/WebP/TIFF/raw) fall back to
-    a deterministic sha256-stream luminance grid at the header's true
-    aspect ratio (clamped to 16x16 samples) — the honest stand-in.
+    real, and so is the SOURCE grid for PNG/BMP/GIF/baseline-JPEG
+    payloads: they are pixel-decoded (:mod:`.pixels`) to a true
+    Rec.601 luminance grid. Payloads whose codecs are absent
+    (progressive JPEG/WebP/TIFF/raw) fall back to a deterministic
+    sha256-stream luminance grid at the header's true aspect ratio
+    (clamped to 16x16 samples) — the honest stand-in.
     """
     if out_h < 1 or out_w < 1:
         raise ValueError(f"output shape must be >= 1x1, got {out_h}x{out_w}")

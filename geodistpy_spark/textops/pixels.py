@@ -1,6 +1,7 @@
-"""Real pixel decoders for PNG / BMP / GIF — pure stdlib + numpy.
+"""Real pixel decoders for PNG / BMP / GIF / baseline JPEG — pure
+stdlib + numpy.
 
-No codec libraries exist in this environment, but these three container
+No codec libraries exist in this environment, but these container
 formats are decodable from first principles (public file-format specs):
 
 - **PNG**: zlib (stdlib) inflate of the IDAT stream + scanline
@@ -12,6 +13,9 @@ formats are decodable from first principles (public file-format specs):
 - **GIF**: LZW decode (variable code width, clear/EOI codes, 12-bit
   dict cap) of the first image frame, global/local color tables,
   Adam-less GIF interlace (4-pass row shuffle).
+- **JPEG** (baseline SOF0/SOF1): canonical Huffman entropy decode,
+  dequantization, vectorized 8x8 IDCT, restart intervals, integer
+  chroma upsampling, JFIF YCbCr -> RGB.
 
 Everything returns an ``(h, w, 3)`` uint8 RGB array; alpha planes are
 dropped (compositing policy belongs to the caller, and the feature
@@ -19,8 +23,9 @@ extractor below is luminance/chroma based).
 
 These are the honest replacements for the ``fake=True`` stand-ins in
 :mod:`.multimodal` — ``decode_media(..., fake=False)`` computes its
-feature column from these pixels. JPEG/WebP/TIFF payloads still raise
-``NotImplementedError`` (entropy-coded bitstreams need a real codec).
+feature column from these pixels. Progressive-JPEG/WebP/TIFF payloads
+still raise ``NotImplementedError`` (their bitstreams need codec
+machinery out of scope here).
 
 Parity note: the reference engine has no multimodal surface at all;
 this module extends it for training-data pipelines (SURVEY.md §2 LLM
@@ -328,13 +333,282 @@ def decode_gif(p: bytes) -> np.ndarray:
     raise ValueError("GIF contains no image frame")
 
 
-def decode_pixels(p: bytes) -> tuple[str, np.ndarray]:
-    """(format, (h, w, 3) uint8 RGB) for PNG/BMP/GIF payloads.
+# --------------------------------------------------------------------------
+# baseline JPEG (ITU-T T.81 SOF0): Huffman entropy decode + dequant +
+# vectorized 8x8 IDCT — pure stdlib + numpy, no codec library.
 
-    JPEG / WebP / TIFF / unknown containers raise NotImplementedError —
-    their pixel streams need entropy codecs absent from this
-    environment (header-level dimensions for them come from
-    :func:`.multimodal.parse_image_header`).
+# stream position k -> raster index 0..63 (T.81 Figure 5 zigzag)
+_JPEG_ZIGZAG = np.array([
+    0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63], dtype=np.int64)
+
+# orthonormal 8-point DCT-II basis: A[u, x] = c(u)/2 * cos((2x+1)u*pi/16)
+_JPEG_DCT_A = np.array([
+    [(np.sqrt(0.5) if u == 0 else 1.0) * 0.5
+     * np.cos((2 * x + 1) * u * np.pi / 16.0)
+     for x in range(8)] for u in range(8)])
+
+
+def _jpeg_huff_table(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
+    """Canonical Huffman (T.81 Annex C): {(length, code) -> symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JpegBits:
+    """MSB-first bit reader over one entropy-coded segment (byte
+    stuffing already removed)."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def get(self, n: int) -> int:
+        while self.nbits < n:
+            # past the segment end T.81 pads with 1-bits (F.2.2.5)
+            byte = self.data[self.pos] if self.pos < len(self.data) else 0xFF
+            self.pos += 1
+            self.acc = (self.acc << 8) | byte
+            self.nbits += 8
+        self.nbits -= n
+        out = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return out
+
+    def huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.get(1)
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """DIFF/AC magnitude decode (T.81 F.2.2.1 EXTEND)."""
+    return v - ((1 << s) - 1) if v < (1 << (s - 1)) else v
+
+
+def decode_jpeg(p: bytes) -> np.ndarray:
+    """Baseline JPEG (SOF0, 8-bit, Huffman) -> (h, w, 3) uint8 RGB.
+
+    Supports 1- or 3-component scans, any integer chroma subsampling
+    whose factors divide the max (4:4:4 / 4:2:2 / 4:2:0 / 4:1:1),
+    restart intervals, and multi-table DQT/DHT. Progressive (SOF2) and
+    arithmetic-coded variants raise NotImplementedError. Chroma planes
+    are upsampled by replication; YCbCr -> RGB is the JFIF transform.
+    """
+    if p[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps = None  # [(id, Hi, Vi, tq)]
+    w = h = None
+    restart_interval = 0
+    i = 2
+    scan = None
+    scan_comps = None
+    while i + 4 <= len(p):
+        if p[i] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        m = p[i + 1]
+        if m == 0xD8 or 0xD0 <= m <= 0xD7 or m == 0x01:
+            i += 2
+            continue
+        (ln,) = struct.unpack(">H", p[i + 2:i + 4])
+        seg = p[i + 4:i + 2 + ln]
+        if m == 0xDB:  # DQT: one or more (precision/id, 64 entries)
+            j = 0
+            while j < len(seg):
+                prec, tid = seg[j] >> 4, seg[j] & 15
+                j += 1
+                if prec:
+                    vals = np.frombuffer(seg, dtype=">u2", count=64, offset=j)
+                    j += 128
+                else:
+                    vals = np.frombuffer(seg, dtype=np.uint8, count=64, offset=j)
+                    j += 64
+                tbl = np.zeros(64, dtype=np.int32)
+                tbl[_JPEG_ZIGZAG] = vals
+                qt[tid] = tbl.reshape(8, 8)
+        elif m in (0xC0, 0xC1):  # SOF0/1: baseline (extended-sequential ok)
+            _prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            comps = [(seg[6 + 3 * c], seg[7 + 3 * c] >> 4,
+                      seg[7 + 3 * c] & 15, seg[8 + 3 * c])
+                     for c in range(nc)]
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                   0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{m - 0xC0}: only baseline sequential Huffman "
+                "(SOF0/SOF1) is supported")
+        elif m == 0xC4:  # DHT
+            j = 0
+            while j < len(seg):
+                cls, tid = seg[j] >> 4, seg[j] & 15
+                bits = list(seg[j + 1:j + 17])
+                n = sum(bits)
+                vals = seg[j + 17:j + 17 + n]
+                (huff_ac if cls else huff_dc)[tid] = _jpeg_huff_table(bits, vals)
+                j += 17 + n
+        elif m == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif m == 0xDA:  # SOS: header, then entropy-coded data
+            ns = seg[0]
+            scan_comps = [(seg[1 + 2 * c], seg[2 + 2 * c] >> 4,
+                           seg[2 + 2 * c] & 15) for c in range(ns)]
+            start = i + 2 + ln
+            j = start
+            while j + 1 < len(p):
+                if p[j] == 0xFF and p[j + 1] not in (0x00,) and not (
+                        0xD0 <= p[j + 1] <= 0xD7):
+                    break
+                j += 1
+            scan = p[start:j]
+            i = j
+            break
+        i += 2 + ln
+    if comps is None or scan is None or w is None:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = {cid: np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64)
+              for cid, hi, vi, _ in comps}
+    comp_by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
+
+    # split entropy data at RST markers, un-stuff 0xFF00 per segment
+    segments = []
+    cur = bytearray()
+    j = 0
+    while j < len(scan):
+        if scan[j] == 0xFF and j + 1 < len(scan):
+            nxt = scan[j + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                j += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                j += 2
+                continue
+        cur.append(scan[j])
+        j += 1
+    segments.append(bytes(cur))
+
+    n_mcu = mcux * mcuy
+    per_seg = restart_interval or n_mcu
+    blocks: dict[int, list] = {cid: [] for cid, *_ in comps}
+    positions: dict[int, list] = {cid: [] for cid, *_ in comps}
+    mcu = 0
+    for seg_bytes in segments:
+        if mcu >= n_mcu:
+            break
+        reader = _JpegBits(seg_bytes)
+        pred = {cid: 0 for cid, *_ in comps}
+        for _ in range(min(per_seg, n_mcu - mcu)):
+            my, mx = divmod(mcu, mcux)
+            for cid, td, ta in scan_comps:
+                hi, vi, tq = comp_by_id[cid]
+                for by in range(vi):
+                    for bx in range(hi):
+                        coef = np.zeros(64, dtype=np.float64)
+                        s = reader.huff(huff_dc[td])
+                        diff = _jpeg_extend(reader.get(s), s) if s else 0
+                        pred[cid] += diff
+                        coef[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = reader.huff(huff_ac[ta])
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overrun")
+                            coef[k] = _jpeg_extend(reader.get(s), s)
+                            k += 1
+                        blk = np.zeros(64, dtype=np.float64)
+                        blk[_JPEG_ZIGZAG] = coef
+                        blocks[cid].append(blk.reshape(8, 8) * qt[tq])
+                        positions[cid].append(((my * vi + by) * 8,
+                                               (mx * hi + bx) * 8))
+            mcu += 1
+    if mcu < n_mcu:
+        raise ValueError("JPEG entropy stream truncated")
+
+    # one vectorized IDCT per component: f = A^T @ F @ A, +128 level shift
+    for cid, blks in blocks.items():
+        if not blks:
+            continue
+        F_all = np.stack(blks)
+        px = np.einsum("ux,nuv,vy->nxy", _JPEG_DCT_A, F_all,
+                       _JPEG_DCT_A, optimize=True) + 128.0
+        plane = planes[cid]
+        for (y0, x0), b in zip(positions[cid], px):
+            plane[y0:y0 + 8, x0:x0 + 8] = b
+
+    # crop component planes to their natural size, upsample to (h, w)
+    out_planes = []
+    for cid, hi, vi, _tq in comps:
+        cw = -(-w * hi // hmax)
+        ch = -(-h * vi // vmax)
+        pl = planes[cid][:ch, :cw]
+        if hi != hmax or vi != vmax:
+            if hmax % hi or vmax % vi:
+                raise NotImplementedError(
+                    "non-integer JPEG chroma upsampling ratio")
+            pl = np.repeat(np.repeat(pl, vmax // vi, axis=0),
+                           hmax // hi, axis=1)
+        out_planes.append(pl[:h, :w])
+
+    if len(out_planes) == 1:
+        y = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    if len(out_planes) != 3:
+        raise NotImplementedError(
+            f"JPEG with {len(out_planes)} components (1 or 3 supported)")
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0,
+                   255).astype(np.uint8)
+
+
+def decode_pixels(p: bytes) -> tuple[str, np.ndarray]:
+    """(format, (h, w, 3) uint8 RGB) for PNG/BMP/GIF/baseline-JPEG
+    payloads.
+
+    Progressive JPEG / WebP / TIFF / unknown containers raise
+    NotImplementedError — their pixel streams need entropy codecs
+    absent from this environment (header-level dimensions for them
+    come from :func:`.multimodal.parse_image_header`).
     """
     if p[:8] == _PNG_MAGIC:
         return "png", decode_png(p)
@@ -342,9 +616,12 @@ def decode_pixels(p: bytes) -> tuple[str, np.ndarray]:
         return "bmp", decode_bmp(p)
     if p[:6] in (b"GIF87a", b"GIF89a"):
         return "gif", decode_gif(p)
+    if p[:2] == b"\xff\xd8":
+        return "jpeg", decode_jpeg(p)
     raise NotImplementedError(
-        "real pixel decode supports PNG/BMP/GIF; JPEG/WebP/TIFF need "
-        "codec libraries not present in this environment")
+        "real pixel decode supports PNG/BMP/GIF/baseline-JPEG; "
+        "progressive JPEG/WebP/TIFF need codec libraries not present "
+        "in this environment")
 
 
 def pixel_features(img: np.ndarray) -> np.ndarray:

@@ -22,7 +22,8 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 sys.path.insert(0, os.path.join(_REPO, "tests"))
 
-from media_encoders import encode_bmp, encode_gif, encode_png  # noqa: E402
+from media_encoders import (  # noqa: E402
+    encode_bmp, encode_gif, encode_jpeg, encode_png)
 
 OUT = os.path.join(_REPO, "fixtures", "media")
 
@@ -92,6 +93,22 @@ def main():
     big_pal = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
     blobs["gif_width_growth"] = encode_gif(big_idx, big_pal)
     expected["gif_width_growth"] = big_pal[big_idx]
+
+    # JPEG: expected arrays are the DECODED output (JPEG is lossy, so
+    # these are regression goldens; truth comes from the tolerance-
+    # bounded round-trip tests in tests/test_pixels.py)
+    from geodistpy_spark.textops.pixels import decode_jpeg
+
+    img = _img(24, 17, 4)
+    blobs["jpeg_444"] = encode_jpeg(img, subsample=(1, 1))
+    expected["jpeg_444"] = decode_jpeg(blobs["jpeg_444"])
+
+    yy, xx = np.mgrid[0:21, 0:30]
+    smooth = np.stack([5 * xx % 200 + 20, (4 * yy) % 200 + 30,
+                       (2 * xx + 3 * yy) % 200 + 25], axis=2).astype(np.uint8)
+    blobs["jpeg_420"] = encode_jpeg(smooth, subsample=(2, 2),
+                                    restart_interval=3)
+    expected["jpeg_420"] = decode_jpeg(blobs["jpeg_420"])
 
     for name, b in blobs.items():
         with open(os.path.join(OUT, f"{name}.bin"), "wb") as fh:

@@ -156,6 +156,176 @@ def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
     return bytes(out_bits)
 
 
+# --------------------------------------------------------------------------
+# baseline JPEG encoder (forward DCT + quantize + Huffman). Uses FIXED-
+# LENGTH canonical Huffman tables (all 12 DC symbols at 4 bits, all 162
+# AC run/size symbols at 8 bits) — a perfectly valid T.81 code that
+# keeps the encoder trivially correct; the decoder's variable-length
+# path is exercised by the real-world CPython python.jpg fixture.
+
+_JPEG_ZZ = np.array([
+    0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63], dtype=np.int64)
+
+_JPEG_A = np.array([
+    [(np.sqrt(0.5) if u == 0 else 1.0) * 0.5
+     * np.cos((2 * x + 1) * u * np.pi / 16.0)
+     for x in range(8)] for u in range(8)])
+
+_DC_BITS = [0, 0, 0, 12] + [0] * 12          # 12 symbols, all length 4
+_DC_VALS = bytes(range(12))
+_AC_VALS = bytes(sorted(
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]))
+_AC_BITS = [0] * 7 + [len(_AC_VALS)] + [0] * 8   # 162 symbols, length 8
+_AC_CODE = {rs: i for i, rs in enumerate(_AC_VALS)}
+
+
+class _JpegWriter:
+    """MSB-first bit writer with 0xFF byte stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, n: int):
+        self.acc = (self.acc << n) | (code & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def pad(self):
+        if self.nbits:
+            self.put((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
+
+def _jpeg_mag(v: int) -> tuple[int, int]:
+    """value -> (size, raw bits) per T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    s = int(abs(v)).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def _jpeg_block(wr: _JpegWriter, coef_zz: np.ndarray, pred: int) -> int:
+    """Huffman-encode one quantized zigzag block; returns new DC pred."""
+    dc = int(coef_zz[0])
+    s, bits = _jpeg_mag(dc - pred)
+    wr.put(s, 4)                 # fixed-length DC code == symbol value
+    if s:
+        wr.put(bits, s)
+    run = 0
+    for k in range(1, 64):
+        v = int(coef_zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            wr.put(_AC_CODE[0xF0], 8)   # ZRL
+            run -= 16
+        s, bits = _jpeg_mag(v)
+        wr.put(_AC_CODE[(run << 4) | s], 8)
+        wr.put(bits, s)
+        run = 0
+    if run:
+        wr.put(_AC_CODE[0x00], 8)       # EOB
+    return dc
+
+
+def _pad_to(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    h, w = plane.shape
+    return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+
+
+def encode_jpeg(img: np.ndarray, subsample: tuple[int, int] = (1, 1),
+                qy: np.ndarray | int = 1, qc: np.ndarray | int = 1,
+                restart_interval: int = 0) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JPEG bytes.
+
+    ``subsample=(1, 1)`` is 4:4:4; ``(2, 2)`` is 4:2:0 (box-average
+    chroma downsampling). ``qy``/``qc`` are 8x8 quantization tables or
+    a scalar (1 = near-lossless apart from DCT rounding).
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs (exercises the decoder's restart path).
+    """
+    h, w = img.shape[:2]
+    qy = np.full((8, 8), qy, np.int32) if np.isscalar(qy) else np.asarray(qy, np.int32)
+    qc = np.full((8, 8), qc, np.int32) if np.isscalar(qc) else np.asarray(qc, np.int32)
+    sh, sv = subsample
+
+    f = img.astype(np.float64)
+    r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    if (sh, sv) != (1, 1):
+        eh, ew = -(-h // sv) * sv, -(-w // sh) * sh
+        cbp = _pad_to(cb, eh, ew).reshape(eh // sv, sv, ew // sh, sh)
+        crp = _pad_to(cr, eh, ew).reshape(eh // sv, sv, ew // sh, sh)
+        cb = cbp.mean(axis=(1, 3))
+        cr = crp.mean(axis=(1, 3))
+
+    mcux, mcuy = -(-w // (8 * sh)), -(-h // (8 * sv))
+    planes = [
+        (_pad_to(y, mcuy * sv * 8, mcux * sh * 8), sh, sv, qy),
+        (_pad_to(cb, mcuy * 8, mcux * 8), 1, 1, qc),
+        (_pad_to(cr, mcuy * 8, mcux * 8), 1, 1, qc),
+    ]
+
+    out = bytearray(b"\xff\xd8")
+    for tid, q in ((0, qy), (1, qc)):
+        zz = q.reshape(64)[_JPEG_ZZ].astype(np.uint8).tobytes()
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + zz
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, (hi, vi, tq) in ((1, (sh, sv, 0)), (2, (1, 1, 1)), (3, (1, 1, 1))):
+        sof += bytes([cid, (hi << 4) | vi, tq])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for cls, tid, bits, vals in ((0, 0, _DC_BITS, _DC_VALS),
+                                 (1, 0, _AC_BITS, _AC_VALS),
+                                 (0, 1, _DC_BITS, _DC_VALS),
+                                 (1, 1, _AC_BITS, _AC_VALS)):
+        body = bytes([(cls << 4) | tid]) + bytes(bits) + vals
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    wr = _JpegWriter()
+    pred = [0, 0, 0]
+    rst = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            wr.pad()
+            wr.out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            pred = [0, 0, 0]
+        my, mx = divmod(m, mcux)
+        for ci, (plane, hi, vi, q) in enumerate(planes):
+            for by in range(vi):
+                for bx in range(hi):
+                    y0, x0 = (my * vi + by) * 8, (mx * hi + bx) * 8
+                    blk = plane[y0:y0 + 8, x0:x0 + 8] - 128.0
+                    F = _JPEG_A @ blk @ _JPEG_A.T
+                    qz = np.round(F / q).astype(np.int64)
+                    pred[ci] = _jpeg_block(wr, qz.reshape(64)[_JPEG_ZZ],
+                                           pred[ci])
+    wr.pad()
+    out += wr.out + b"\xff\xd9"
+    return bytes(out)
+
+
 def encode_gif(indices: np.ndarray, palette: np.ndarray,
                interlace: bool = False) -> bytes:
     """(h, w) uint8 palette indices + (n, 3) palette -> single-frame GIF."""

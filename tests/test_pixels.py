@@ -28,12 +28,13 @@ import pytest
 from geodistpy_spark.textops.pixels import (
     decode_bmp,
     decode_gif,
+    decode_jpeg,
     decode_pixels,
     decode_png,
     pixel_features,
 )
 
-from media_encoders import encode_bmp, encode_gif, encode_png
+from media_encoders import encode_bmp, encode_gif, encode_jpeg, encode_png
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _MEDIA = os.path.join(_REPO, "fixtures", "media")
@@ -130,6 +131,96 @@ class TestGifRoundTrip:
         assert np.array_equal(decode_gif(encode_gif(idx, pal)), pal[idx])
 
 
+def _ycbcr_420_expected(img: np.ndarray) -> np.ndarray:
+    """The encoder's own chroma chain (JFIF forward transform, 2x2 box
+    downsample, replication upsample, inverse transform) in plain
+    numpy — what a 4:2:0 round-trip should give apart from DCT
+    quantization noise."""
+    f = img.astype(np.float64)
+    r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    h, w = y.shape
+    eh, ew = -(-h // 2) * 2, -(-w // 2) * 2
+    pad = lambda p: np.pad(p, ((0, eh - h), (0, ew - w)), mode="edge")
+    down = lambda p: pad(p).reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3))
+    up = lambda p: np.repeat(np.repeat(p, 2, axis=0), 2, axis=1)[:h, :w]
+    cb, cr = up(down(cb)), up(down(cr))
+    rr = y + 1.402 * (cr - 128.0)
+    gg = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    bb = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([rr, gg, bb], axis=2)), 0, 255)
+
+
+class TestJpegRoundTrip:
+    """encode_jpeg (forward DCT + fixed-length Huffman) vs decode_jpeg
+    (Huffman + IDCT): independent directions, so tolerance-bounded
+    agreement gates the whole pipeline. With unit quantization tables
+    the only loss is coefficient rounding: |err| <= sum_uv 0.5*|A|^2
+    <= 4 gray levels."""
+
+    def test_444_near_lossless(self):
+        img = _img(24, 17, seed=30)  # non-multiple-of-8 dims
+        out = decode_jpeg(encode_jpeg(img, subsample=(1, 1)))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+
+    def test_420_matches_chroma_chain(self):
+        # smooth gradients: the 4:2:0 error is exactly the chroma
+        # down/up chain, which the expectation reproduces — residual
+        # is DCT rounding only
+        y, x = np.mgrid[0:21, 0:30]
+        img = np.stack([5 * x % 200 + 20, (4 * y) % 200 + 30,
+                        (2 * x + 3 * y) % 200 + 25], axis=2).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(img, subsample=(2, 2)))
+        assert out.shape == img.shape
+        exp = _ycbcr_420_expected(img)
+        assert np.abs(out.astype(float) - exp).max() <= 5
+
+    def test_restart_markers(self):
+        img = _img(40, 24, seed=31)
+        enc = encode_jpeg(img, subsample=(1, 1), restart_interval=2)
+        assert b"\xff\xdd" in enc and b"\xff\xd0" in enc
+        out = decode_jpeg(enc)
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+
+    def test_real_quant_tables_lossy_but_close(self):
+        # uniform q=16 tables: exercises dequantization (a wrong
+        # multiply would explode the error, not nudge it)
+        y, x = np.mgrid[0:16, 0:16]
+        img = np.stack([8 * x + 40, 6 * y + 30, 4 * (x + y) + 20],
+                       axis=2).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(img, qy=16, qc=16))
+        err = np.abs(out.astype(float) - img.astype(float))
+        assert err.mean() < 8 and err.max() < 40
+
+    def test_single_block_and_odd_sizes(self):
+        for shape in [(8, 8), (1, 1), (9, 23)]:
+            img = _img(*shape, seed=32)
+            out = decode_jpeg(encode_jpeg(img))
+            assert out.shape == img.shape
+            assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+
+    def test_dispatch(self):
+        img = _img(8, 8, seed=33)
+        fmt, out = decode_pixels(encode_jpeg(img))
+        assert fmt == "jpeg" and out.shape == (8, 8, 3)
+
+    def test_truncated_raises(self):
+        enc = encode_jpeg(_img(16, 16, seed=34))
+        with pytest.raises(ValueError):
+            decode_jpeg(enc[:len(enc) // 2])
+
+    def test_progressive_raises_not_implemented(self):
+        # minimal SOF2 skeleton: progressive is out of scope
+        import struct as _s
+        sof2 = (b"\xff\xd8\xff\xc2" + _s.pack(">H", 11)
+                + _s.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(sof2)
+
+
 class TestCommittedGoldens:
     def test_all_golden_fixtures(self):
         exp = np.load(os.path.join(_MEDIA, "expected.npz"))
@@ -151,6 +242,26 @@ class TestCommittedGoldens:
         assert decoded["python.gif"].shape == (16, 16, 3)
         assert decoded["idle_16.png"].shape == (16, 16, 3)
         assert decoded["folder.gif"].shape == (13, 15, 3)
+
+    def test_third_party_jpeg(self):
+        # real-world baseline JPEG (CPython email test data, PSF
+        # licensed): 4:2:0 with libjpeg-style variable-length Huffman
+        # tables — the variable-length path our fixed-length test
+        # encoder never produces
+        tp = os.path.join(_MEDIA, "thirdparty")
+        fmt, jpg = decode_pixels(
+            open(os.path.join(tp, "python.jpg"), "rb").read())
+        assert fmt == "jpeg" and jpg.shape == (16, 16, 3)
+        assert jpg.std() > 10  # decoded content, not a flat plane
+        # same 16x16 Python-logo artwork as python.png: luminance of
+        # the two decodes must be strongly correlated
+        _, png = decode_pixels(
+            open(os.path.join(tp, "python.png"), "rb").read())
+        lum = lambda a: (0.299 * a[:, :, 0] + 0.587 * a[:, :, 1]
+                         + 0.114 * a[:, :, 2]).ravel()
+        corr = np.corrcoef(lum(jpg.astype(float)),
+                           lum(png.astype(float)))[0, 1]
+        assert corr > 0.7, corr
 
     def test_cross_encoder_identity(self):
         # the same 16x16 Python logo through libpng (python.png) and a
@@ -211,8 +322,10 @@ class TestDecodeMediaRealPath:
 
 class TestDecodeDispatchAndFeatures:
     def test_unsupported_raises(self):
-        with pytest.raises(NotImplementedError):
-            decode_pixels(b"\xff\xd8\xff\xe0" + b"\x00" * 64)  # jpeg
+        # a JPEG signature with garbage after it is now dispatched to
+        # the real decoder, which rejects it as malformed
+        with pytest.raises(ValueError):
+            decode_pixels(b"\xff\xd8\xff\xe0" + b"\x00" * 64)
         with pytest.raises(NotImplementedError):
             decode_pixels(b"\x00" * 64)
 
