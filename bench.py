@@ -100,7 +100,13 @@ def ensure_bench_texts(n: int) -> str:
     """Sweep-scale text corpus for the dedup query: deterministic
     lorem-vocabulary documents (20-60 words), near-zero pairwise
     Jaccard so the timing measures shingle+MinHash aggregation (the
-    real cost at corpus scale), not a pathological pair blowup."""
+    real cost at corpus scale), not a pathological pair blowup.
+
+    Written as multiple parquet files like a production corpus (note
+    Spark splits even a single parquet file by byte range scaled to
+    default parallelism, so scan parallelism is fine either way — the
+    multi-file layout just mirrors what a real pipeline reads).
+    """
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -108,17 +114,25 @@ def ensure_bench_texts(n: int) -> str:
     from geodistpy_spark.sources.fixtures import _LOREM
 
     os.makedirs(BENCH_DIR, exist_ok=True)
-    path = os.path.join(BENCH_DIR, f"texts_{n}.parquet")
-    if not os.path.exists(path):
+    path = os.path.join(BENCH_DIR, f"texts_{n}")
+    marker = os.path.join(path, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
         rng = np.random.default_rng(4242)
         n_words = rng.integers(20, 61, size=n)
         idx = rng.integers(0, len(_LOREM), size=(n, 60))
-        texts = [" ".join(_LOREM[w] for w in idx[i, : n_words[i]])
-                 for i in range(n)]
-        pq.write_table(pa.table({
-            "doc_id": pa.array(range(n), pa.int64()),
-            "text": pa.array(texts, pa.string()),
-        }), path)
+        chunk = max(n // 16, 1)
+        part = 0
+        for start in range(0, n, chunk):
+            end = min(start + chunk, n)
+            texts = [" ".join(_LOREM[w] for w in idx[i, : n_words[i]])
+                     for i in range(start, end)]
+            pq.write_table(pa.table({
+                "doc_id": pa.array(range(start, end), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }), os.path.join(path, f"part-{part:04d}.parquet"))
+            part += 1
+        open(marker, "w").close()
     return path
 
 

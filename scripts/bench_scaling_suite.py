@@ -41,8 +41,14 @@ N_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", 2_000_000))
 N_QUERIES = int(os.environ.get("SPARK_GRAFT_SCALE_QUERIES", 8_000))
 N_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", 80_000_000))
 N_POLYS = int(os.environ.get("SPARK_GRAFT_SCALE_POLYS", 500))
-N_TEXTS = int(os.environ.get("SPARK_GRAFT_SCALE_TEXTS", 50_000))
-N_EMB = int(os.environ.get("SPARK_GRAFT_SCALE_EMB", 4_000_000))
+# q6/q7 carry a ~4-5 s per-job fixed cost (query-vector collect scan,
+# Python worker spin-up, small-stage scheduling floor) that is paid
+# ONCE per executor on a real cluster; their sources must be large
+# enough that the scalable work dwarfs it or the ratio measures the
+# constant (the 50k-text / 4M-vector sizing measured 0.5-0.7 for this
+# reason after the xxhash64 MinHash rewrite made q6 3x faster)
+N_TEXTS = int(os.environ.get("SPARK_GRAFT_SCALE_TEXTS", 800_000))
+N_EMB = int(os.environ.get("SPARK_GRAFT_SCALE_EMB", 20_000_000))
 # local[8] runs FIRST: it needs ~16 free vCPUs and is the level
 # sensitive to residual load; local[2] (needs ~4 of 32) is nearly
 # immune, so it absorbs the decay of the first run
@@ -135,9 +141,10 @@ def main():
         "note": (
             "every query's source is scaled so its local[2] wall dwarfs "
             "the ~2.5 s fixed per-job constant (a once-per-executor cost "
-            "on a real cluster): 2M docs (q1/q4/q8), 8k radius/kNN "
-            "queries (q2/q3), 80M Vincenty pairs (q5), 500 polygons "
-            "(q4), 50k text docs (q6), 4M embeddings (q7)"
+            f"on a real cluster): {N_DOCS} docs (q1/q4/q8), {N_QUERIES} "
+            f"radius/kNN queries (q2/q3), {N_PAIRS} Vincenty pairs (q5), "
+            f"{N_POLYS} polygons (q4), {N_TEXTS} text docs (q6), "
+            f"{N_EMB} embeddings (q7)"
         ),
     }
     path = os.path.join(_REPO, "BENCH", "scaling_suite.json")
