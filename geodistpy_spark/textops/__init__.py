@@ -7,6 +7,15 @@ from .analysis import (
     token_count_bpe,
     trigram_logprob,
 )
+from .audio import (
+    audio_feature_pipeline,
+    audio_features,
+    decode_audio,
+    decode_wav,
+    fetch_audio_bytes,
+    parse_wav_header,
+    sample_audio_windows,
+)
 from .ann import (
     build_ivf_index,
     codebooks_from_df,
@@ -57,6 +66,8 @@ __all__ = [
     "embedding_near_pairs", "exact_duplicates", "lsh_candidate_pairs",
     "minhash_signatures", "connected_components", "near_dup_groups", "dedup_near",
     "near_duplicates_minhash", "ngram_jaccard",
+    "audio_feature_pipeline", "audio_features", "decode_audio", "decode_wav",
+    "fetch_audio_bytes", "parse_wav_header", "sample_audio_windows",
     "shingles", "simhash", "simhash_near_pairs", "tokenize", "decode_media",
     "decode_pixels", "pixel_features",
     "fetch_media_bytes", "media_feature_pipeline", "resize_media", "sample_frames",

@@ -72,6 +72,16 @@ def loadavg() -> float:
     return os.getloadavg()[0]
 
 
+def steal_jiffies() -> int:
+    """Cumulative hypervisor steal time — the co-tenant poison signal
+    loadavg can NOT see (steal only accrues while we burn CPU, so a
+    quiet pre-run loadavg says nothing about contention during the
+    run; round-5 triage measured q1 wall tracking steal-cores
+    monotonically: 0.85 steal-cores -> 0.65 s, 2.9 -> 8 s)."""
+    with open("/proc/stat") as fh:
+        return int(fh.readline().split()[8])
+
+
 def run_level(cpus: int) -> dict:
     env = dict(os.environ)
     env.update({
@@ -86,13 +96,16 @@ def run_level(cpus: int) -> dict:
         "SPARK_DRIVER_MEMORY": "48g",
     })
     t0 = time.perf_counter()
+    s0 = steal_jiffies()
     out = subprocess.run(
         [sys.executable, os.path.join(_REPO, "bench.py")],
-        capture_output=True, text=True, env=env, cwd=_REPO, timeout=3600)
+        capture_output=True, text=True, env=env, cwd=_REPO, timeout=7200)
     wall = time.perf_counter() - t0
+    s1 = steal_jiffies()
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
     rec = json.loads(line)
     rec["_sweep_wall"] = round(wall, 1)
+    rec["_steal_cores"] = round((s1 - s0) / 100.0 / wall, 2)
     return rec
 
 
@@ -103,7 +116,8 @@ def main():
         l0 = wait_quiet()
         print(f"[local[{cpus}]] start (load {l0:.2f}) ...", flush=True)
         rec = run_level(cpus)
-        loads[cpus] = {"before": l0, "after": loadavg()}
+        loads[cpus] = {"before": l0, "after": loadavg(),
+                       "steal_cores": rec["_steal_cores"]}
         results[cpus] = rec
         print(f"  suite {rec['value']}s pipeline {rec['pipeline_sec']}s "
               f"docs/s {rec['docs_per_sec']}", flush=True)
