@@ -1040,20 +1040,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- multimodal + ANN scale path (rows-only) -----------------------
     def q_media_features(spark, sf_dir):
-        # decode features + parsed span metadata (media_key) in one
-        # relation (absorbed r3's media_span_meta)
-        from geodistpy_spark.textops import media_feature_pipeline
+        # image decode features + parsed span metadata (media_key) +
+        # AUDIO decode of the same spans in one relation (absorbed r3's
+        # media_span_meta; audio merged r5). Audio gate: the header
+        # columns (codec/channels/rate/bits/frames/duration/bytes) come
+        # from the REAL RIFF parse of the payload and must equal the
+        # sha256-derived synth parameters the oracle recomputes; the
+        # waveform features are gated as within-tolerance booleans vs
+        # analytic truths computed HERE via Catalyst sha2 (independent
+        # of the Python hashlib the synth uses). Tolerances validated
+        # over all 1850 fixture refs (worst: 8-bit quantization noise
+        # floor shifts centroid <=2328 Hz, rolloff past f2; rms dev
+        # <=4e-4).
+        from geodistpy_spark.textops import (audio_feature_pipeline,
+                                             media_feature_pipeline)
 
         docs = _fixture_docs(spark)
         mf = media_feature_pipeline(docs)
         meta = extract_media_spans(docs).select(
             "doc_id", F.col("span_idx").cast("long").alias("span_idx"),
             "media_key")
-        return mf.select("doc_id", F.col("span_idx").cast("long").alias("span_idx"),
-                         "format",
-                         F.col("width").cast("long").alias("width"),
-                         F.col("height").cast("long").alias("height"), "n_bytes") \
+        img = mf.select("doc_id", F.col("span_idx").cast("long").alias("span_idx"),
+                        "format",
+                        F.col("width").cast("long").alias("width"),
+                        F.col("height").cast("long").alias("height"), "n_bytes") \
             .join(meta, on=["doc_id", "span_idx"])
+
+        au = audio_feature_pipeline(docs)
+        sx = F.sha2(F.col("media_ref"), 256)
+
+        def byt(i):
+            return F.conv(F.substring(sx, 2 * i + 1, 2), 16, 10).cast("int")
+
+        au = au.withColumns({
+            "e_rate": F.element_at(
+                F.array(*[F.lit(v) for v in (8000, 16000, 22050, 44100)]),
+                byt(0) % 4 + 1),
+            "e_bits": F.element_at(
+                F.array(*[F.lit(v) for v in (16, 16, 8, 24, 32)]),
+                byt(1) % 5 + 1),
+            "e_ch": F.lit(1) + byt(2) % 2,
+            "e_n": F.lit(1024) + (byt(3) + 256 * byt(4)) % 3072,
+            "c1": F.lit(4) + byt(5) % 60,
+            "c2": F.lit(70) + byt(6) % 120,
+            "a1": F.lit(0.30) + (byt(7) % 100) / F.lit(400.0),
+            "a2": F.lit(0.05) + (byt(8) % 50) / F.lit(1000.0),
+        }).withColumns({
+            "f1": F.col("c1") * F.col("e_rate") / F.col("e_n"),
+            "f2": F.col("c2") * F.col("e_rate") / F.col("e_n"),
+        })
+        audio = au.select(
+            "doc_id", F.col("span_idx").cast("long").alias("span_idx"),
+            F.col("codec").alias("a_codec"),
+            F.col("n_channels").cast("long").alias("a_ch"),
+            F.col("sample_rate").cast("long").alias("a_rate"),
+            F.col("bits").cast("long").alias("a_bits"),
+            F.col("n_samples").cast("long").alias("a_frames"),
+            # unrounded: 1000.0 * n / sr is the same two IEEE ops both
+            # sides -> bit-identical doubles (rounding would ADD a
+            # Java-vs-DuckDB half-tie hazard here)
+            F.col("duration_ms").alias("a_dur_ms"),
+            F.col("n_bytes").alias("a_bytes"),
+            (F.abs(F.col("rms") - F.sqrt((F.col("a1") * F.col("a1")
+                + F.col("a2") * F.col("a2")) / 2)) < 2e-3).alias("ok_rms"),
+            ((F.col("peak") > F.col("a1") - F.col("a2") - 1e-2)
+             & (F.col("peak") < F.col("a1") + F.col("a2") + 1e-2)).alias("ok_peak"),
+            ((F.col("zcr_hz") >= 2 * F.col("f1") - 100)
+             & (F.col("zcr_hz") <= 2 * (F.col("f1") + F.col("f2")))).alias("ok_zcr"),
+            (F.abs(F.col("centroid_hz") - (F.col("f1") * F.col("a1")
+                + F.col("f2") * F.col("a2")) / (F.col("a1") + F.col("a2")))
+             < 3000).alias("ok_centroid"),
+            ((F.col("rolloff_hz") >= F.col("f1") - 1)
+             & (F.col("rolloff_hz") <= F.col("e_rate") / 2)).alias("ok_rolloff"),
+            (F.col("silence_ratio") == 0.0).alias("ok_silence"),
+        )
+        return img.join(audio, on=["doc_id", "span_idx"])
 
     def q_ivf_topk(spark, sf_dir):
         # IVF over the COMMITTED centroid fixture (fixtures/ann,
@@ -1681,9 +1742,19 @@ def oracle_sql() -> dict[str, str]:
             + ", ".join(
                 f"((instr('0123456789abcdef', substr(sx, {2 * i + 1}, 1)) - 1) * 16 + "
                 f"(instr('0123456789abcdef', substr(sx, {2 * i + 2}, 1)) - 1)) AS b{i}"
-                for i in range(5)
+                for i in range(9)
             )
-            + " FROM m) "
+            + " FROM m), "
+            # audio synth params: same sha256 bytes drive the WAV stub
+            # (textops/audio.py _synth_wav); header columns are exact,
+            # waveform features are TRUE-gated booleans on the Spark side
+            "au AS (SELECT *, "
+            "CASE b0 % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 "
+            "WHEN 2 THEN 22050 ELSE 44100 END AS e_rate, "
+            "CASE b1 % 5 WHEN 2 THEN 8 WHEN 3 THEN 24 WHEN 4 THEN 32 "
+            "ELSE 16 END AS e_bits, "
+            "1 + b2 % 2 AS e_ch, "
+            "1024 + (b3 + 256 * b4) % 3072 AS e_n FROM b) "
             "SELECT doc_id, span_idx, "
             "CASE b0 % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' WHEN 2 THEN 'webp' "
             "WHEN 3 THEN 'tiff' ELSE 'raw' END AS format, "
@@ -1692,7 +1763,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE b0 % 5 WHEN 4 THEN (b2 + 256 * b3) % 1080 + 16 "
             "ELSE 16 + (b3 + 256 * b4) % 1525 END AS BIGINT) AS height, "
             "CAST(128 AS BIGINT) AS n_bytes, "
-            "split_part(mr, '://', 2) AS media_key FROM b"
+            "split_part(mr, '://', 2) AS media_key, "
+            "CASE WHEN e_bits = 32 THEN 'float' ELSE 'pcm' END AS a_codec, "
+            "CAST(e_ch AS BIGINT) AS a_ch, "
+            "CAST(e_rate AS BIGINT) AS a_rate, "
+            "CAST(e_bits AS BIGINT) AS a_bits, "
+            "CAST(e_n AS BIGINT) AS a_frames, "
+            "1.0e3 * e_n / e_rate AS a_dur_ms, "
+            "CAST(44 + e_n * e_ch * (e_bits // 8) AS BIGINT) AS a_bytes, "
+            "TRUE AS ok_rms, TRUE AS ok_peak, TRUE AS ok_zcr, "
+            "TRUE AS ok_centroid, TRUE AS ok_rolloff, TRUE AS ok_silence "
+            "FROM au"
         ),
         # transitive closure (recursive CTE) over the near-dup pair graph
         # — an INDEPENDENT realization of the engine's iterative
