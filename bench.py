@@ -98,34 +98,48 @@ def ensure_bench_polygons(n: int) -> str:
 
 def ensure_bench_texts(n: int) -> str:
     """Sweep-scale text corpus for the dedup query: deterministic
-    lorem-vocabulary documents (20-60 words), near-zero pairwise
-    Jaccard so the timing measures shingle+MinHash aggregation (the
-    real cost at corpus scale), not a pathological pair blowup.
+    documents of 20-60 words drawn from a 20,000-word synthetic
+    vocabulary, with an explicit ~10% near-duplicate fraction (each
+    near-dup is the previous doc with two words swapped out). Random
+    3-shingles from a 20k vocab are effectively unique, so LSH band
+    buckets stay small and candidate pairs grow LINEARLY with n --
+    the earlier 33-word lorem vocabulary saturated the shingle space
+    by n~=4e5, which made band buckets quadratic AND skewed (one
+    straggler task dominated every level of the scaling sweep,
+    measuring a degenerate workload rather than the engine).
 
     Written as multiple parquet files like a production corpus (note
     Spark splits even a single parquet file by byte range scaled to
-    default parallelism, so scan parallelism is fine either way — the
+    default parallelism, so scan parallelism is fine either way -- the
     multi-file layout just mirrors what a real pipeline reads).
     """
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from geodistpy_spark.sources.fixtures import _LOREM
-
     os.makedirs(BENCH_DIR, exist_ok=True)
-    path = os.path.join(BENCH_DIR, f"texts_{n}")
+    path = os.path.join(BENCH_DIR, f"texts2_{n}")
     marker = os.path.join(path, "_DONE")
     if not os.path.exists(marker):
         os.makedirs(path, exist_ok=True)
+        vocab = np.array([f"w{i:05d}" for i in range(20_000)])
         rng = np.random.default_rng(4242)
         n_words = rng.integers(20, 61, size=n)
-        idx = rng.integers(0, len(_LOREM), size=(n, 60))
+        idx = rng.integers(0, len(vocab), size=(n, 60))
+        # ~10% near-dups: doc i copies doc i-1 (same word ids, same
+        # length) with two word positions re-rolled
+        dup_mask = (np.arange(n) % 10 == 5) & (np.arange(n) > 0)
+        dup_ids = np.flatnonzero(dup_mask)
+        idx[dup_ids] = idx[dup_ids - 1]
+        n_words[dup_ids] = n_words[dup_ids - 1]
+        for d in dup_ids:
+            pos = rng.integers(0, n_words[d], size=2)
+            idx[d, pos] = rng.integers(0, len(vocab), size=2)
         chunk = max(n // 16, 1)
         part = 0
         for start in range(0, n, chunk):
             end = min(start + chunk, n)
-            texts = [" ".join(_LOREM[w] for w in idx[i, : n_words[i]])
+            texts = [" ".join(vocab[idx[i, : n_words[i]]])
                      for i in range(start, end)]
             pq.write_table(pa.table({
                 "doc_id": pa.array(range(start, end), pa.int64()),
