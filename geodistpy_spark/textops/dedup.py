@@ -217,12 +217,33 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
 def near_duplicates_minhash(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", k: int = 3,
                             threshold: float = 0.7,
-                            hash_fn: str = "xxhash64") -> DataFrame:
+                            hash_fn: str = "xxhash64",
+                            hash_shingles: bool | None = None) -> DataFrame:
     """Full near-dup pipeline: LSH candidates -> exact Jaccard verify.
     The shingle relation is computed ONCE and shared (cached) by the
     signature and verify stages — it is the pipeline's only repeated
-    corpus-sized intermediate."""
-    sh = shingles(df.select(id_col, text_col), text_col, k).cache()
+    corpus-sized intermediate.
+
+    ``hash_shingles`` (default: on iff ``hash_fn == 'xxhash64'``)
+    collapses each distinct shingle string to ONE xxhash64 long before
+    the cache: every downstream consumer (12 seed-hash mins, the band
+    self-join, both Jaccard intersection joins) only needs shingle
+    EQUALITY and hash uniformity, never the text, so an 8-byte long
+    replaces a ~25-50-byte string in the pipeline's one corpus-sized
+    in-memory relation and every shuffle built from it. The measured
+    q6 limiter is exactly this relation's memory traffic (see
+    BENCH/q6_stage_probe.json). The mapping is injective in practice:
+    expected colliding distinct-shingle pairs is D^2 / 2^65 — 2.8e-5
+    at D = 32M distinct shingles, ~0.03 even at D = 1e9 — and one
+    collision shifts one pair's intersection count by at most 1. The
+    md5 oracle mode keeps exact strings so the DuckDB correctness
+    mirror stays bit-identical."""
+    if hash_shingles is None:
+        hash_shingles = hash_fn == "xxhash64"
+    sh = shingles(df.select(id_col, text_col), text_col, k)
+    if hash_shingles:
+        sh = sh.select(id_col, F.xxhash64("shingle").alias("shingle"))
+    sh = sh.cache()
     pairs = lsh_candidate_pairs(df, id_col, text_col, k, hash_fn=hash_fn,
                                 _shingles=sh)
     return ngram_jaccard(df, pairs, id_col, text_col, k, _shingles=sh).filter(

@@ -55,6 +55,27 @@ class TestDedup:
         jacc12 = nd[(nd.id_1 == 1) & (nd.id_2 == 2)].jaccard.iloc[0]
         assert jacc12 == 1.0
 
+    def test_hashed_shingle_path_matches_string_path(self, planted):
+        # production path collapses shingle strings to xxhash64 longs
+        # before the cached relation. The CANDIDATE sets may differ
+        # between modes (different signature values -> different band
+        # draws), but for every pair BOTH modes emit, the exact-verify
+        # counts and jaccard must be identical (the long mapping is
+        # injective absent a 64-bit collision), and the sure-thing
+        # planted dup (jaccard 1.0 -> every band matches in any mode)
+        # must appear in both
+        cols = ["id_1", "id_2", "n_inter", "n_1", "n_2", "jaccard"]
+        hashed = near_duplicates_minhash(
+            planted, threshold=0.1).toPandas()[cols].set_index(
+            ["id_1", "id_2"]).sort_index()
+        strings = near_duplicates_minhash(
+            planted, threshold=0.1, hash_shingles=False).toPandas()[
+            cols].set_index(["id_1", "id_2"]).sort_index()
+        assert (1, 2) in hashed.index and (1, 2) in strings.index
+        common = hashed.index.intersection(strings.index)
+        assert len(common) > 0
+        assert hashed.loc[common].equals(strings.loc[common])
+
     def test_lsh_no_false_pairs_for_disjoint(self, planted):
         pairs = lsh_candidate_pairs(planted).toPandas()
         got = set(zip(pairs.id_1, pairs.id_2))
@@ -88,10 +109,15 @@ class TestDedup:
             "doc_id long, text string")
         from geodistpy_spark.textops import dedup_near, near_dup_groups
 
-        g = near_dup_groups(df, threshold=0.5).toPandas().set_index("doc_id").group_id
+        # pinned to the md5 mode the offline edge-set was verified for:
+        # which band a given pair lands in depends on the signature hash,
+        # so the emitted-edge set (a-b, b-c, not a-c) is only stable per
+        # mode — transitive closure is the property under test
+        g = near_dup_groups(df, threshold=0.5, hash_fn="md5").toPandas(
+            ).set_index("doc_id").group_id
         assert g[10] == g[20] == g[30] == 10
         assert g[40] == 40
-        kept = dedup_near(df, threshold=0.5).toPandas()
+        kept = dedup_near(df, threshold=0.5, hash_fn="md5").toPandas()
         assert sorted(kept.doc_id) == [10, 40]
 
     def test_short_docs_dont_crash_the_pipelines(self, spark):
