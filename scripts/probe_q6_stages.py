@@ -60,8 +60,14 @@ def timed(name, fn):
     out[name] = round(time.perf_counter() - t0, 3)
     return r
 
-# A: corpus-sized explode, materialized into the block-manager cache
-sh = shingles(docs.select("doc_id", "text"), "text", 3).cache()
+# A: corpus-sized explode, materialized into the block-manager cache.
+# Mirrors the production pipeline: shingle strings collapse to xxhash64
+# longs BEFORE the cache (set Q6_PROBE_STRINGS=1 for the legacy string
+# relation the round-5 baseline probe measured).
+sh = shingles(docs.select("doc_id", "text"), "text", 3)
+if not os.environ.get("Q6_PROBE_STRINGS"):
+    sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
+sh = sh.cache()
 timed("A_shingle_cache", lambda: sh.count())
 
 # B: signatures from the cached relation (12 mins + one groupBy)
