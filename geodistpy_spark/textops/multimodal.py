@@ -190,8 +190,12 @@ def decode_media(media_with_bytes: DataFrame, fake: bool = True) -> DataFrame:
         for pdf in batches:
             fmts, widths, heights = [], [], []
             real_feats: list[np.ndarray] = []
-            for p in pdf["payload"]:
-                b = bytes(p)
+            # null payloads become b"": the real path then raises its
+            # documented undecodable error; the fake path derives the
+            # deterministic zero-stream stand-in instead of crashing
+            # bytes(None) inside the executor
+            payloads = [b"" if p is None else bytes(p) for p in pdf["payload"]]
+            for b in payloads:
                 if not fake:
                     fmt, img = decode_pixels(b)  # raises for jpeg/webp/raw
                     fmts.append(fmt)
@@ -203,14 +207,20 @@ def decode_media(media_with_bytes: DataFrame, fake: bool = True) -> DataFrame:
                 if hdr is not None:
                     fmts.append(hdr[0]); widths.append(hdr[1]); heights.append(hdr[2])
                 else:
-                    u0, u1 = struct.unpack("<HH", b[:4])
+                    u0, u1 = (struct.unpack("<HH", b[:4])
+                              if len(b) >= 4 else (64, 64))
                     fmts.append("raw")
                     widths.append(u0 % 1920 + 16)
                     heights.append(u1 % 1080 + 16)
             if fake:
+                # sub-window payloads left-pad with zero bytes so the
+                # stack stays rectangular (synth payloads are always
+                # >= the window, so the padded branch never changes a
+                # value the SQL oracle mirrors)
+                win = MEDIA_FEATURE_DIM * 4
                 raw = np.stack([
-                    np.frombuffer(bytes(p[-MEDIA_FEATURE_DIM * 4:]), dtype=np.uint8)
-                    for p in pdf["payload"]
+                    np.frombuffer(b[-win:].rjust(win, b"\0"), dtype=np.uint8)
+                    for b in payloads
                 ])
                 feats = list((raw.reshape(len(pdf), MEDIA_FEATURE_DIM, 4)
                               .sum(axis=2) / 1020.0).astype(np.float32))
@@ -223,7 +233,8 @@ def decode_media(media_with_bytes: DataFrame, fake: bool = True) -> DataFrame:
                 "format": fmts,
                 "width": np.asarray(widths, dtype="int32"),
                 "height": np.asarray(heights, dtype="int32"),
-                "n_bytes": pdf["payload"].str.len().astype("int64"),
+                "n_bytes": np.asarray([len(b) for b in payloads],
+                                      dtype="int64"),
                 "features": feats,
             })
 
@@ -272,7 +283,8 @@ def sample_frames(media_with_bytes: DataFrame, n_frames: int = 4) -> DataFrame:
             out = {k: [] for k in ("doc_id", "span_idx", "media_ref",
                                    "n_total", "frame_idx", "frame_bytes")}
             for _, row in pdf.iterrows():
-                p = bytes(row["payload"])
+                raw = row["payload"]
+                p = b"" if raw is None else bytes(raw)
                 total = max(len(p) // FRAME_BYTES, 0)
                 if total == 0:
                     continue
@@ -357,7 +369,7 @@ def resize_media(media_with_bytes: DataFrame, out_h: int = 8,
         for pdf in batches:
             hs, ws, px = [], [], []
             for p in pdf["payload"]:
-                h, w, g = _src_grid(bytes(p))
+                h, w, g = _src_grid(b"" if p is None else bytes(p))
                 hs.append(h)
                 ws.append(w)
                 px.append(_bilinear(g).ravel().astype(np.float32))

@@ -544,6 +544,33 @@ class TestMultimodalFramesResize:
         with pytest.raises(ValueError, match="output shape"):
             resize_media(wb, out_h=0)
 
+    def test_media_ops_survive_null_and_short_payloads(self, spark):
+        # user-supplied payload columns can carry nulls and payloads
+        # shorter than the fake-feature window (32 B) or the pseudo-dim
+        # header (4 B); every mapInPandas media op must handle them
+        # (bytes(None) raised inside executors before the guards)
+        from geodistpy_spark.textops.multimodal import (
+            decode_media, resize_media, sample_frames, MEDIA_FEATURE_DIM)
+
+        rows = [
+            ("d1", 0, "r1", bytearray(b"\x89PNG")),     # truncated magic
+            ("d2", 0, "r2", bytearray(b"ab")),           # < 4-byte header
+            ("d3", 0, "r3", bytearray(b"")),             # empty
+            ("d4", 0, "r4", None),                        # null
+        ]
+        mb = spark.createDataFrame(
+            rows,
+            "doc_id string, span_idx int, media_ref string, payload binary")
+        dec = decode_media(mb, fake=True).toPandas()
+        assert len(dec) == 4
+        assert dec.features.map(len).eq(MEDIA_FEATURE_DIM).all()
+        assert dec.set_index("doc_id").n_bytes.to_dict() == {
+            "d1": 4, "d2": 2, "d3": 0, "d4": 0}
+        rz = resize_media(mb, out_h=2, out_w=2).toPandas()
+        assert len(rz) == 4 and rz.pixels.map(len).eq(4).all()
+        # all payloads are shorter than one frame -> no sampled rows
+        assert sample_frames(mb).count() == 0
+
 
 class TestSamplingOps:
     def test_contamination_planted_and_decontaminate(self, spark):
