@@ -322,12 +322,23 @@ def train_centroids(emb: DataFrame, n_cells: int, n_iters: int = 5,
     import numpy as np
 
     init = (
-        emb.orderBy(F.col(id_col).asc()).limit(n_cells if distributed
-                                               else sample_size)
+        emb.filter(F.col(vec_col).isNotNull())
+        .orderBy(F.col(id_col).asc()).limit(n_cells if distributed
+                                            else sample_size)
         .select(F.col(vec_col).cast("array<double>").alias("v"))
         .toPandas()
     )
-    X = np.stack(init["v"].values)
+    # the distributed assignment pass already drops null / wrong-dim
+    # vectors; mirror that here so a dirty corpus yields a clean error
+    # or a clean init instead of a ragged np.stack crash
+    vs = [v for v in init["v"].values if v is not None and len(v) > 0]
+    if not vs:
+        raise ValueError(
+            "train_centroids: no non-null, non-empty vectors to "
+            "initialize from (empty corpus?)")
+    dim0 = len(vs[0])
+    vs = [v for v in vs if len(v) == dim0]
+    X = np.stack(vs)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     C = X[:n_cells].copy()
     if not distributed:

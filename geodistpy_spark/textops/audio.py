@@ -285,7 +285,9 @@ def decode_audio(audio_with_bytes: DataFrame) -> DataFrame:
                 continue
             rows = []
             for p in pdf["payload"]:
-                b = bytes(p)
+                # null -> b"" so malformed input surfaces as the parser's
+                # documented ValueError, not bytes(None) TypeError
+                b = b"" if p is None else bytes(p)
                 hdr = parse_wav_header(b)
                 sr, x = decode_wav(b)
                 f = audio_features(x, sr)
@@ -339,7 +341,7 @@ def sample_audio_windows(audio_with_bytes: DataFrame, win_ms: int = 100,
             for doc_id, span_idx, ref, p in zip(
                     pdf["doc_id"], pdf["span_idx"], pdf["media_ref"],
                     pdf["payload"]):
-                sr, x = decode_wav(bytes(p))
+                sr, x = decode_wav(b"" if p is None else bytes(p))
                 mono = x.mean(axis=1)
                 win = max(1, sr * win_ms // 1000)
                 hop = max(1, sr * hop_ms // 1000)

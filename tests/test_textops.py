@@ -762,6 +762,38 @@ class TestDistributedLloyd:
         C = np.asarray(train_centroids(merged, 4, distributed=True))
         assert C.shape == (4, dim) and np.isfinite(C).all()
 
+    def test_train_init_filters_nulls_and_errors_on_empty(self, spark):
+        # the INIT sample must mirror the assignment pass's null /
+        # wrong-dim filtering (a null in the smallest-id window crashed
+        # np.stack), and an empty corpus must raise a clear error
+        import numpy as np
+
+        from geodistpy_spark.textops.ann import train_centroids
+
+        dirty = spark.createDataFrame(
+            [(1, None), (2, [1.0, 0.0]), (3, [0.5]), (4, [0.0, 1.0])],
+            "vec_id long, embedding array<double>")
+        C = np.asarray(train_centroids(dirty, 2))
+        assert C.shape == (2, 2) and np.isfinite(C).all()
+        empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+        with pytest.raises(ValueError, match="no non-null"):
+            train_centroids(empty, 2)
+
+    def test_audio_null_payload_raises_parser_error(self, spark):
+        # a null payload surfaces the RIFF parser's documented
+        # ValueError, not a bytes(None) TypeError from the executor
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import PythonException
+
+        from geodistpy_spark.textops.audio import decode_audio
+
+        mb = spark.createDataFrame(
+            [("d1", 0, "r1", None)],
+            "doc_id string, span_idx int, media_ref string, payload binary")
+        with pytest.raises((PythonException, Py4JJavaError)) as ei:
+            decode_audio(mb).count()
+        assert "ValueError" in str(ei.value)
+
 
 class TestAnnFixtures:
     def test_fixture_index_matches_fresh_training(self, spark):
