@@ -711,6 +711,51 @@ class TestCosineTopkGrid:
             F.col("embedding").alias("q_vec"))
         assert cosine_topk_grid(emb, empty_q, 5).count() == 0
 
+    def test_f32_fast_path_exact_on_adversarial_near_ties(self, spark):
+        # the float32 filter-refine path promises BIT-IDENTICAL output
+        # to f64 scoring of the same stored values; stress it with 50
+        # vectors whose true cosines to the query differ by only
+        # 1e-9..1e-7 — far below the f32 selection precision, so every
+        # near-tie must survive the margin filter and be ranked by the
+        # f64 rescore
+        import numpy as np
+
+        from geodistpy_spark.textops.ann import cosine_topk
+
+        rng = np.random.default_rng(7)
+        d = 16
+        base = rng.normal(size=d)
+        base /= np.linalg.norm(base)
+        rows = []
+        for i in range(50):
+            eps = 1e-9 * (i + 1)
+            o = rng.normal(size=d)
+            o -= (o @ base) * base
+            o /= np.linalg.norm(o)
+            v = base * np.cos(1e-3) + o * np.sin(1e-3) * (1 + eps)
+            v /= np.linalg.norm(v)
+            rows.append((i, [float(x) for x in v]))
+        for i in range(50, 200):
+            v = rng.normal(size=d)
+            v /= np.linalg.norm(v)
+            rows.append((i, [float(x) for x in v]))
+        embf32 = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>").select(
+            "vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+        q = spark.createDataFrame(
+            [(0, [float(x) for x in base])],
+            "query_id long, q_vec array<double>")
+        got = [(r.vec_id, r.cosine)
+               for r in cosine_topk(embf32, q, 20).orderBy("rank").collect()]
+        stored = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+                  for r in embf32.collect()}
+        qv = base.astype(np.float64)
+        truth = sorted(
+            ((float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv))), -i)
+             for i, v in stored.items()), reverse=True)[:20]
+        assert [g[0] for g in got] == [-mi for _, mi in truth]
+        assert max(abs(g[1] - c) for g, (c, _) in zip(got, truth)) < 1e-15
+
 
 class TestDistributedLloyd:
     def test_distributed_matches_sampled_on_covered_corpus(self, spark):
