@@ -52,6 +52,14 @@ from .multimodal import (
     sample_frames,
 )
 from .pixels import decode_pixels, pixel_features
+from .video import (
+    decode_video_meta,
+    fetch_video_bytes,
+    mp4_frame_table,
+    parse_mp4_header,
+    sample_video_frames,
+    video_feature_pipeline,
+)
 from .sampling import (
     decontaminate,
     hash_split,
@@ -71,4 +79,6 @@ __all__ = [
     "shingles", "simhash", "simhash_near_pairs", "tokenize", "decode_media",
     "decode_pixels", "pixel_features",
     "fetch_media_bytes", "media_feature_pipeline", "resize_media", "sample_frames",
+    "decode_video_meta", "fetch_video_bytes", "mp4_frame_table",
+    "parse_mp4_header", "sample_video_frames", "video_feature_pipeline",
 ]
