@@ -1114,7 +1114,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              & (F.col("rolloff_hz") <= F.col("e_rate") / 2)).alias("ok_rolloff"),
             (F.col("silence_ratio") == 0.0).alias("ok_silence"),
         )
-        return img.join(audio, on=["doc_id", "span_idx"])
+
+        # VIDEO (merged r5): MP4/ISO-BMFF container parse of the same
+        # spans. Header columns (brand/dims/frame count/fps/duration)
+        # come from the REAL box-tree parse (mvhd/tkhd/mdhd + stts)
+        # and must equal the sha256('v:'+ref)-derived synth params the
+        # oracle recomputes; frame extraction through the real
+        # stsz/stsc/stco tables is gated as booleans HERE via Catalyst
+        # sha2 (each sampled frame's first 32 bytes are the per-frame
+        # digest) plus an exact pick-count check — independent of the
+        # Python hashlib the synth uses.
+        from geodistpy_spark.textops import (fetch_video_bytes,
+                                             sample_video_frames,
+                                             video_feature_pipeline)
+
+        vm = video_feature_pipeline(docs)
+        video = vm.select(
+            "doc_id", F.col("span_idx").cast("long").alias("span_idx"),
+            F.col("brand").alias("v_brand"),
+            F.col("width").cast("long").alias("v_w"),
+            F.col("height").cast("long").alias("v_h"),
+            F.col("timescale").cast("long").alias("v_ts"),
+            F.col("n_frames").cast("long").alias("v_frames"),
+            F.col("fps").alias("v_fps"),
+            F.col("duration_ms").alias("v_dur_ms"),
+        )
+        vspans = extract_media_spans(docs).select(
+            "doc_id", "span_idx", "media_ref")
+        frames = sample_video_frames(fetch_video_bytes(vspans), n_frames=4)
+        fgate = frames.groupBy(
+            "doc_id", F.col("span_idx").cast("long").alias("span_idx")) \
+            .agg(
+                F.every(
+                    F.lower(F.hex(F.substring("frame_bytes", 1, 32)))
+                    == F.sha2(F.concat_ws(
+                        ":", "media_ref",
+                        F.col("frame_idx").cast("string")), 256)
+                ).alias("ok_frame_sha"),
+                F.count("*").alias("n_sampled"),
+                F.first("n_total").alias("n_total"))
+        # expected pick count: |{floor(i * n / 4) : i < min(4, n)}|
+        fgate = fgate.select(
+            "doc_id", "span_idx", "ok_frame_sha",
+            (F.col("n_sampled") == F.size(F.array_distinct(F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.least(F.lit(4), F.col("n_total")).cast("int") - 1),
+                lambda i: F.floor(i * F.col("n_total") / 4))))
+             ).alias("ok_frame_count"))
+        return (img.join(audio, on=["doc_id", "span_idx"])
+                .join(video, on=["doc_id", "span_idx"])
+                .join(fgate, on=["doc_id", "span_idx"]))
 
     def q_ivf_topk(spark, sf_dir):
         # IVF over the COMMITTED centroid fixture (fixtures/ann,
@@ -1736,13 +1786,20 @@ def oracle_sql() -> dict[str, str]:
         # functions of sha256(media_ref) — recomputable from the hex here
         "media_features": (
             f"{span_cte}, m AS (SELECT doc_id, span_idx, span.media_ref AS mr, "
-            "sha256(span.media_ref) AS sx "
+            "sha256(span.media_ref) AS sx, "
+            "sha256(concat('v:', span.media_ref)) AS vx "
             "FROM s WHERE span.kind = 'media'), "
             "b AS (SELECT doc_id, span_idx, mr, "
             + ", ".join(
                 f"((instr('0123456789abcdef', substr(sx, {2 * i + 1}, 1)) - 1) * 16 + "
                 f"(instr('0123456789abcdef', substr(sx, {2 * i + 2}, 1)) - 1)) AS b{i}"
                 for i in range(9)
+            )
+            + ", "
+            + ", ".join(
+                f"((instr('0123456789abcdef', substr(vx, {2 * i + 1}, 1)) - 1) * 16 + "
+                f"(instr('0123456789abcdef', substr(vx, {2 * i + 2}, 1)) - 1)) AS vb{i}"
+                for i in range(8)
             )
             + " FROM m), "
             # audio synth params: same sha256 bytes drive the WAV stub
@@ -1754,7 +1811,15 @@ def oracle_sql() -> dict[str, str]:
             "CASE b1 % 5 WHEN 2 THEN 8 WHEN 3 THEN 24 WHEN 4 THEN 32 "
             "ELSE 16 END AS e_bits, "
             "1 + b2 % 2 AS e_ch, "
-            "1024 + (b3 + 256 * b4) % 3072 AS e_n FROM b) "
+            "1024 + (b3 + 256 * b4) % 3072 AS e_n, "
+            # video synth params: sha256('v:' + ref) bytes drive the
+            # MP4 stub (textops/video.py _synth_mp4); header columns
+            # are exact, frame-extraction gates are TRUE-gated
+            # booleans on the Spark side
+            "3 + vb1 % 14 AS v_nf, "
+            "100 + (vb2 % 9) * 50 AS v_delta, "
+            "CASE vb3 % 4 WHEN 0 THEN 12 WHEN 1 THEN 24 WHEN 2 THEN 25 "
+            "ELSE 30 END AS v_fpsi FROM b) "
             "SELECT doc_id, span_idx, "
             "CASE b0 % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' WHEN 2 THEN 'webp' "
             "WHEN 3 THEN 'tiff' ELSE 'raw' END AS format, "
@@ -1772,7 +1837,16 @@ def oracle_sql() -> dict[str, str]:
             "1.0e3 * e_n / e_rate AS a_dur_ms, "
             "CAST(44 + e_n * e_ch * (e_bits // 8) AS BIGINT) AS a_bytes, "
             "TRUE AS ok_rms, TRUE AS ok_peak, TRUE AS ok_zcr, "
-            "TRUE AS ok_centroid, TRUE AS ok_rolloff, TRUE AS ok_silence "
+            "TRUE AS ok_centroid, TRUE AS ok_rolloff, TRUE AS ok_silence, "
+            "CASE vb0 % 3 WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42' "
+            "ELSE 'avc1' END AS v_brand, "
+            "CAST(16 + (vb4 + 256 * vb5) % 4080 AS BIGINT) AS v_w, "
+            "CAST(16 + (vb6 + 256 * vb7) % 2160 AS BIGINT) AS v_h, "
+            "CAST(v_delta * v_fpsi AS BIGINT) AS v_ts, "
+            "CAST(v_nf AS BIGINT) AS v_frames, "
+            "CAST(v_fpsi AS DOUBLE) AS v_fps, "
+            "1.0e3 * (v_nf * v_delta) / (v_delta * v_fpsi) AS v_dur_ms, "
+            "TRUE AS ok_frame_sha, TRUE AS ok_frame_count "
             "FROM au"
         ),
         # transitive closure (recursive CTE) over the near-dup pair graph
