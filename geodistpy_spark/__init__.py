@@ -42,6 +42,8 @@ def __getattr__(name):
         return getattr(import_module(".operators", __name__), name)
     if name == "coordinates_from_df":
         return import_module(".sources.resolver", __name__).coordinates_from_df
+    if name == "register_sql_functions":
+        return import_module(".sql", __name__).register_sql_functions
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 __version__ = "0.1.0"

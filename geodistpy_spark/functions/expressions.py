@@ -30,7 +30,13 @@ def haversine_m(lat1, lon1, lat2, lon2, radius: float = EARTH_RADIUS_M) -> Colum
         F.pow(F.sin((p2 - p1) / 2), 2)
         + F.cos(p1) * F.cos(p2) * F.pow(F.sin((l2 - l1) / 2), 2)
     )
-    return 2.0 * radius * F.asin(F.sqrt(F.least(F.greatest(h, F.lit(0.0)), F.lit(1.0))))
+    # the [0, 1] clamp uses greatest/least, which SKIP nulls — without
+    # the guard a null coordinate silently becomes 0 m ("same point"),
+    # which then passes every radius predicate downstream
+    return F.when(
+        h.isNotNull(),
+        2.0 * radius * F.asin(F.sqrt(
+            F.least(F.greatest(h, F.lit(0.0)), F.lit(1.0)))))
 
 
 def great_circle_m(lat1, lon1, lat2, lon2, a: float = WGS84_A, f: float = WGS84_F) -> Column:
@@ -84,22 +90,30 @@ def destination_sphere(lat, lon, bearing_deg, dist_m,
     p2 = F.asin(F.least(F.greatest(sp2, F.lit(-1.0)), F.lit(1.0)))
     l2 = l1 + F.atan2(F.sin(th) * F.sin(d) * F.cos(p1),
                       F.cos(d) - F.sin(p1) * sp2)
-    return F.struct(
+    # null-input guard: greatest(NULL, -1) = -1 would otherwise turn a
+    # null coordinate into lat = -90 (the south pole)
+    return F.when(sp2.isNotNull(), F.struct(
         F.degrees(p2).alias("lat"),
         (F.pmod(F.degrees(l2) + 180.0, F.lit(360.0)) - 180.0).alias("lon"),
-    )
+    ))
 
 
 def cell_x(lon, res: int) -> Column:
     n = 1 << res
     x = F.floor(F.pmod(_c(lon) + 180.0, F.lit(360.0)) / 360.0 * n)
-    return F.least(F.greatest(x, F.lit(0)), F.lit(n - 1)).cast("long")
+    # greatest/least skip nulls, so an unguarded clamp would bin a null
+    # longitude into column 0 — a silent false equi-join key at scale
+    return F.when(
+        x.isNotNull(),
+        F.least(F.greatest(x, F.lit(0)), F.lit(n - 1))).cast("long")
 
 
 def cell_y(lat, res: int) -> Column:
     n = 1 << res
     y = F.floor((_c(lat) + 90.0) / 180.0 * n)
-    return F.least(F.greatest(y, F.lit(0)), F.lit(n - 1)).cast("long")
+    return F.when(
+        y.isNotNull(),
+        F.least(F.greatest(y, F.lit(0)), F.lit(n - 1))).cast("long")
 
 
 def cell_id_col(lat, lon, res: int) -> Column:

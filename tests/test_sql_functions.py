@@ -1,0 +1,144 @@
+"""SQL-function surface tests.
+
+Truth strategy: every registered SQL UDF must be BIT-IDENTICAL to the
+Column builder it mirrors (functions/expressions.py) on random global
+pairs — the SQL body is the same expression, so any drift is a bug.
+The Vincenty registration is the same Arrow UDF the DataFrame
+operators use, so equality there gates the plumbing, not the kernel.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from geodistpy_spark.functions.expressions import (
+    bearing_sphere_deg,
+    cell_id_col,
+    destination_sphere,
+    great_circle_m,
+    haversine_m,
+    normalize_lon,
+    parent_cell_col,
+    to_unit,
+)
+from geodistpy_spark.functions.udfs import vincenty_udf
+from geodistpy_spark.sql import SQL_FUNCTION_NAMES, register_sql_functions
+
+
+@pytest.fixture(scope="module")
+def sql_pts(spark):
+    register_sql_functions(spark)
+    rng = np.random.default_rng(11)
+    n = 5000
+    pdf = pd.DataFrame({
+        "lat1": rng.uniform(-89.9, 89.9, n),
+        "lon1": rng.uniform(-180.0, 180.0, n),
+        "lat2": rng.uniform(-89.9, 89.9, n),
+        "lon2": rng.uniform(-180.0, 180.0, n),
+        "b": rng.uniform(0.0, 360.0, n),
+        "d": rng.uniform(0.0, 2.0e7, n),
+    })
+    df = spark.createDataFrame(pdf)
+    df.createOrReplaceTempView("sql_pts")
+    return df
+
+
+class TestSqlFunctions:
+    def test_registration_returns_all_names(self, spark, sql_pts):
+        names = register_sql_functions(spark)  # idempotent re-register
+        assert names == SQL_FUNCTION_NAMES
+        assert len(names) == 9
+
+    def test_scalar_functions_bit_identical(self, spark, sql_pts):
+        got = spark.sql("""
+            SELECT geo_haversine_m(lat1, lon1, lat2, lon2) AS hv,
+                   geo_greatcircle_m(lat1, lon1, lat2, lon2) AS gc,
+                   geo_bearing_deg(lat1, lon1, lat2, lon2) AS brg,
+                   geo_normalize_lon(lon1 * 3) AS nl,
+                   geo_to_unit(geo_haversine_m(lat1, lon1, lat2, lon2),
+                               'nmi') AS nmi,
+                   geo_cell_id(lat1, lon1, 9) AS cid,
+                   geo_parent_cell(geo_cell_id(lat1, lon1, 9), 9, 5) AS pc
+            FROM sql_pts""").toPandas()
+        want = sql_pts.select(
+            haversine_m("lat1", "lon1", "lat2", "lon2").alias("hv"),
+            great_circle_m("lat1", "lon1", "lat2", "lon2").alias("gc"),
+            bearing_sphere_deg("lat1", "lon1", "lat2", "lon2").alias("brg"),
+            normalize_lon(F.col("lon1") * 3).alias("nl"),
+            to_unit(haversine_m("lat1", "lon1", "lat2", "lon2"),
+                    "nmi").alias("nmi"),
+            cell_id_col("lat1", "lon1", 9).alias("cid"),
+            parent_cell_col(cell_id_col("lat1", "lon1", 9), 9, 5).alias("pc"),
+        ).toPandas()
+        for c in got.columns:
+            assert (got[c].values == want[c].values).all(), c
+
+    def test_destination_struct_bit_identical(self, spark, sql_pts):
+        got = spark.sql(
+            "SELECT geo_destination(lat1, lon1, b, d) AS dest "
+            "FROM sql_pts").toPandas()
+        want = sql_pts.select(
+            destination_sphere("lat1", "lon1", "b", "d").alias("dest")
+        ).toPandas()
+        for g, w in zip(got["dest"], want["dest"]):
+            assert g["lat"] == w["lat"] and g["lon"] == w["lon"]
+
+    def test_vincenty_matches_dataframe_udf(self, spark, sql_pts):
+        got = spark.sql(
+            "SELECT geo_vincenty_m(lat1, lon1, lat2, lon2) AS v "
+            "FROM sql_pts LIMIT 500").toPandas()
+        want = sql_pts.limit(500).select(
+            vincenty_udf()("lat1", "lon1", "lat2", "lon2").alias("v")
+        ).toPandas()
+        assert (got["v"].values == want["v"].values).all()
+
+    def test_null_coordinates_propagate_null(self, spark, sql_pts):
+        # greatest/least SKIP nulls, so without explicit guards a null
+        # coordinate becomes 0 m / cell 0 / lat -90 — all silently
+        # wrong. Both API levels must return NULL instead.
+        row = spark.sql("""
+            SELECT geo_haversine_m(NULL, 0.0d, 1.0d, 1.0d) AS hv,
+                   geo_greatcircle_m(NULL, 0.0d, 1.0d, 1.0d) AS gc,
+                   geo_bearing_deg(NULL, 0.0d, 1.0d, 1.0d) AS brg,
+                   geo_cell_id(NULL, 0.0d, 9) AS cid,
+                   geo_cell_id(0.0d, NULL, 9) AS cid2,
+                   geo_destination(NULL, 0.0d, 90.0d, 1000.0d) AS dest
+        """).collect()[0]
+        assert row.hv is None and row.gc is None and row.brg is None
+        assert row.cid is None and row.cid2 is None and row.dest is None
+        df = spark.createDataFrame(
+            [(None, 0.0, 1.0, 1.0)], "lat1 double, lon1 double, "
+            "lat2 double, lon2 double")
+        got = df.select(
+            haversine_m("lat1", "lon1", "lat2", "lon2").alias("hv"),
+            cell_id_col("lat1", "lon1", 9).alias("cid"),
+            destination_sphere("lat1", "lon1", F.lit(90.0),
+                               F.lit(1000.0)).alias("dest"),
+        ).collect()[0]
+        assert got.hv is None and got.cid is None and got.dest is None
+
+    def test_unknown_metric_raises(self, spark, sql_pts):
+        with pytest.raises(Exception, match="unknown metric"):
+            spark.sql("SELECT geo_to_unit(1.0d, 'furlong')").collect()
+
+    def test_sql_udf_inlines_into_codegen(self, spark, sql_pts):
+        # a SQL UDF over literals must constant-fold at plan time —
+        # proof Catalyst inlined it (no eval node, no Python worker)
+        plan = spark.sql(
+            "SELECT geo_haversine_m(0.0d, 0.0d, 0.0d, 1.0d) AS x"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan
+        assert "111" in plan  # folded literal ~111195 m (1 deg at equator)
+
+    def test_custom_prefix_and_ellipsoid(self, spark, sql_pts):
+        names = register_sql_functions(spark, prefix="g2_",
+                                       ellipsoid="GRS-80")
+        assert all(n.startswith("g2_") for n in names)
+        row = spark.sql(
+            "SELECT g2_vincenty_m(0.0d, 0.0d, 0.0d, 1.0d) AS v,"
+            "       g2_haversine_m(0.0d, 0.0d, 0.0d, 1.0d) AS h"
+        ).collect()[0]
+        assert abs(row.v - 111319.49079322515) < 1e-3  # GRS-80 ~= WGS-84
+        assert abs(row.h - 111195.08372419141) < 1e-6
