@@ -109,10 +109,14 @@ def _fullbox(p: bytes, off: int):
 
 
 def _u32(p: bytes, i: int) -> int:
+    if i + 4 > len(p):
+        raise ValueError("box field truncated (u32 past end of payload)")
     return struct.unpack(">I", p[i:i + 4])[0]
 
 
 def _u64(p: bytes, i: int) -> int:
+    if i + 8 > len(p):
+        raise ValueError("box field truncated (u64 past end of payload)")
     return struct.unpack(">Q", p[i:i + 8])[0]
 
 
@@ -183,6 +187,8 @@ def parse_mp4_header(p: bytes) -> dict:
         raise ValueError("video track missing stts box")
     _, i = _fullbox(p, stts[0])
     n_ent = _u32(p, i)
+    if i + 4 + 8 * n_ent > stts[1]:
+        raise ValueError("stts entry count overruns its box")
     n_samples = 0
     total_delta = 0
     for k in range(n_ent):
@@ -228,9 +234,15 @@ def mp4_frame_table(p: bytes) -> list[tuple[int, int]]:
         raise ValueError("video track missing stsz box")
     _, i = _fullbox(p, stsz[0])
     fixed, n_samples = _u32(p, i), _u32(p, i + 4)
+    # count sanity BEFORE allocation: a poisoned count (declared 4B
+    # samples in a 100-byte box) must raise, not OOM the executor
+    if n_samples > len(p):
+        raise ValueError("stsz sample count exceeds payload size")
     if fixed:
         sizes = [fixed] * n_samples
     else:
+        if i + 8 + 4 * n_samples > stsz[1]:
+            raise ValueError("stsz size table overruns its box")
         sizes = [_u32(p, i + 8 + 4 * k) for k in range(n_samples)]
 
     co = find_box(p, [b"stco"], stbl[0], stbl[1])
@@ -242,6 +254,8 @@ def mp4_frame_table(p: bytes) -> list[tuple[int, int]]:
         raise ValueError("video track missing stco/co64 box")
     _, i = _fullbox(p, co[0])
     n_chunks = _u32(p, i)
+    if i + 4 + (8 if wide else 4) * n_chunks > co[1]:
+        raise ValueError("stco/co64 offset table overruns its box")
     offsets = [(_u64(p, i + 4 + 8 * k) if wide else _u32(p, i + 4 + 4 * k))
                for k in range(n_chunks)]
 
@@ -250,6 +264,8 @@ def mp4_frame_table(p: bytes) -> list[tuple[int, int]]:
         raise ValueError("video track missing stsc box")
     _, i = _fullbox(p, stsc[0])
     n_ent = _u32(p, i)
+    if i + 4 + 12 * n_ent > stsc[1]:
+        raise ValueError("stsc run table overruns its box")
     runs = [(_u32(p, i + 4 + 12 * k), _u32(p, i + 8 + 12 * k))
             for k in range(n_ent)]  # (first_chunk 1-based, samples_per_chunk)
 
@@ -258,6 +274,10 @@ def mp4_frame_table(p: bytes) -> list[tuple[int, int]]:
     for r, (first, spc) in enumerate(runs):
         last = runs[r + 1][0] - 1 if r + 1 < len(runs) else n_chunks
         for ck in range(first - 1, last):
+            if ck < 0 or ck >= len(offsets):
+                raise ValueError(
+                    f"stsc references chunk {ck + 1} outside stco's "
+                    f"{len(offsets)} entries")
             pos = offsets[ck]
             for _ in range(spc):
                 if s >= n_samples:

@@ -114,6 +114,43 @@ class TestParser:
         with pytest.raises(ValueError, match="no video"):
             parse_mp4_header(bytes(q))
 
+    def test_fuzz_never_crashes_with_non_value_error(self):
+        # adversarial payloads (random bytes, truncations, mutations of
+        # a valid file) must surface as ValueError — never struct.error
+        # / IndexError / MemoryError (a poisoned stsz count must not
+        # allocate) — so one dirty doc can't kill an executor batch
+        import random
+        rng = random.Random(1234)
+        base = _synth_mp4("fuzz-seed")
+        for trial in range(3000):
+            mode = trial % 3
+            if mode == 0:
+                p = bytes(rng.randrange(256)
+                          for _ in range(rng.randrange(0, 200)))
+            elif mode == 1:
+                p = base[:rng.randrange(0, len(base))]
+            else:
+                b = bytearray(base)
+                for _ in range(rng.randrange(1, 6)):
+                    b[rng.randrange(len(b))] = rng.randrange(256)
+                p = bytes(b)
+            for fn in (parse_mp4_header, mp4_frame_table):
+                try:
+                    fn(p)
+                except ValueError:
+                    pass
+
+    def test_poisoned_sample_count_raises_without_allocating(self):
+        # stsz declaring 2^31 samples inside a tiny box
+        p = bytearray(_synth_mp4("poison"))
+        i = bytes(p).find(b"stsz")
+        assert i > 0
+        fixed_off = i + 4 + 4  # after type + version/flags
+        p[fixed_off:fixed_off + 4] = (1000).to_bytes(4, "big")  # fixed size
+        p[fixed_off + 4:fixed_off + 8] = (1 << 31).to_bytes(4, "big")
+        with pytest.raises(ValueError, match="sample count"):
+            mp4_frame_table(bytes(p))
+
     def test_find_box_nested(self):
         p = _synth_mp4("y")
         stbl = find_box(p, [b"moov", b"trak", b"mdia", b"minf", b"stbl"])
