@@ -1124,11 +1124,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sha2 (each sampled frame's first 32 bytes are the per-frame
         # digest) plus an exact pick-count check — independent of the
         # Python hashlib the synth uses.
-        from geodistpy_spark.textops import (fetch_video_bytes,
-                                             sample_video_frames,
-                                             video_feature_pipeline)
+        from geodistpy_spark.textops import (decode_video_meta,
+                                             fetch_video_bytes,
+                                             sample_video_frames)
 
-        vm = video_feature_pipeline(docs)
+        # ONE payload fetch feeds both the header decode and the frame
+        # sampler (two fetches = two object-store reads per span in the
+        # real deployment this stub models)
+        vspans = extract_media_spans(docs).select(
+            "doc_id", "span_idx", "media_ref")
+        with_bytes = fetch_video_bytes(vspans)
+        vm = decode_video_meta(with_bytes)
         video = vm.select(
             "doc_id", F.col("span_idx").cast("long").alias("span_idx"),
             F.col("brand").alias("v_brand"),
@@ -1139,9 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("fps").alias("v_fps"),
             F.col("duration_ms").alias("v_dur_ms"),
         )
-        vspans = extract_media_spans(docs).select(
-            "doc_id", "span_idx", "media_ref")
-        frames = sample_video_frames(fetch_video_bytes(vspans), n_frames=4)
+        frames = sample_video_frames(with_bytes, n_frames=4)
         fgate = frames.groupBy(
             "doc_id", F.col("span_idx").cast("long").alias("span_idx")) \
             .agg(

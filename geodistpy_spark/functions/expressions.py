@@ -91,8 +91,10 @@ def destination_sphere(lat, lon, bearing_deg, dist_m,
     l2 = l1 + F.atan2(F.sin(th) * F.sin(d) * F.cos(p1),
                       F.cos(d) - F.sin(p1) * sp2)
     # null-input guard: greatest(NULL, -1) = -1 would otherwise turn a
-    # null coordinate into lat = -90 (the south pole)
-    return F.when(sp2.isNotNull(), F.struct(
+    # null coordinate into lat = -90 (the south pole). Guard on l2, not
+    # sp2: sp2 never involves lon, so a NULL longitude would slip
+    # through an sp2-only check with a fabricated latitude.
+    return F.when(sp2.isNotNull() & l2.isNotNull(), F.struct(
         F.degrees(p2).alias("lat"),
         (F.pmod(F.degrees(l2) + 180.0, F.lit(360.0)) - 180.0).alias("lon"),
     ))

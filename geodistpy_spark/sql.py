@@ -104,9 +104,11 @@ def _destination_body() -> str:
     l2 = (f"(radians(lon) + atan2(sin({th}) * sin({d}) * cos({p1}),"
           f" cos({d}) - sin({p1}) * {sp2}))")
     # null guard mirrors expressions.destination_sphere (a null input
-    # would otherwise clamp to lat = -90)
+    # would otherwise clamp to lat = -90); l2 is checked too because
+    # sp2 never involves lon
     return (
-        f"CASE WHEN {sp2} IS NOT NULL THEN named_struct("
+        f"CASE WHEN {sp2} IS NOT NULL AND {l2} IS NOT NULL "
+        f"THEN named_struct("
         f"'lat', degrees(asin(least(greatest({sp2}, -1.0d), 1.0d))), "
         f"'lon', pmod(degrees({l2}) + 180.0d, 360.0d) - 180.0d) END")
 
@@ -132,11 +134,15 @@ def _parent_cell_body() -> str:
             f" + shiftright({x}, res - parent_res)")
 
 
-_TO_UNIT = """CASE metric
-    WHEN 'meter' THEN dist_m * 1.0d
-    WHEN 'km' THEN dist_m * 1.0e-3d
-    WHEN 'mile' THEN dist_m * (1.0d / 1609.344d)
-    WHEN 'nmi' THEN dist_m * (1.0d / 1852.0d)
+# aliases and factors mirror constants.UNIT_FACTORS exactly ('m' too);
+# a NULL metric propagates NULL (the CASE <expr> WHEN form never
+# matches NULL, so it needs an explicit branch)
+_TO_UNIT = """CASE
+    WHEN metric IS NULL THEN CAST(NULL AS DOUBLE)
+    WHEN metric IN ('meter', 'm') THEN dist_m * 1.0d
+    WHEN metric = 'km' THEN dist_m * 1.0e-3d
+    WHEN metric = 'mile' THEN dist_m * (1.0d / 1609.344d)
+    WHEN metric = 'nmi' THEN dist_m * (1.0d / 1852.0d)
     ELSE CAST(raise_error(concat('unknown metric: ', metric)) AS DOUBLE)
 END"""
 

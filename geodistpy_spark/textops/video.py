@@ -153,6 +153,11 @@ def parse_mp4_header(p: bytes) -> dict:
     if mvhd is None:
         raise ValueError("MP4 missing mvhd box")
     ver, i = _fullbox(p, mvhd[0])
+    # field reads must stay inside the BOX, not just the payload — a
+    # lying mvhd size would otherwise read the next box's bytes as
+    # timescale/duration (silently wrong instead of ValueError)
+    if i + (28 if ver == 1 else 16) > mvhd[1]:
+        raise ValueError("mvhd box truncated")
     if ver == 1:
         movie_ts, movie_dur = _u32(p, i + 16), _u64(p, i + 20)
     else:
@@ -175,6 +180,8 @@ def parse_mp4_header(p: bytes) -> dict:
     if mdhd is None:
         raise ValueError("video track missing mdhd box")
     ver, i = _fullbox(p, mdhd[0])
+    if i + (20 if ver == 1 else 12) > mdhd[1]:
+        raise ValueError("mdhd box truncated")
     timescale = _u32(p, i + 16) if ver == 1 else _u32(p, i + 8)
     if timescale < 1:
         raise ValueError("mdhd timescale must be positive")
@@ -282,6 +289,14 @@ def mp4_frame_table(p: bytes) -> list[tuple[int, int]]:
             for _ in range(spc):
                 if s >= n_samples:
                     return table
+                # bounds-check every frame slice: Python slicing clamps
+                # silently, so an out-of-payload stco offset or stsz
+                # overrun would otherwise ship truncated/empty frame
+                # bytes downstream as if they were valid samples
+                if pos + sizes[s] > len(p):
+                    raise ValueError(
+                        f"sample {s} at offset {pos} (+{sizes[s]} B) "
+                        "overruns the payload")
                 table.append((pos, sizes[s]))
                 pos += sizes[s]
                 s += 1

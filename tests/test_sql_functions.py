@@ -119,6 +119,27 @@ class TestSqlFunctions:
         ).collect()[0]
         assert got.hv is None and got.cid is None and got.dest is None
 
+    def test_null_longitude_destination_propagates(self, spark, sql_pts):
+        # sp2 never involves lon, so a guard on sp2 alone would return
+        # struct(lat=<computed>, lon=NULL) — a fabricated latitude
+        row = spark.sql(
+            "SELECT geo_destination(10.0d, NULL, 90.0d, 1000.0d) AS dest"
+        ).collect()[0]
+        assert row.dest is None
+        got = spark.createDataFrame(
+            [(10.0, None)], "lat double, lon double").select(
+            destination_sphere("lat", "lon", F.lit(90.0),
+                               F.lit(1000.0)).alias("dest")).collect()[0]
+        assert got.dest is None
+
+    def test_to_unit_m_alias_and_null_metric(self, spark, sql_pts):
+        row = spark.sql(
+            "SELECT geo_to_unit(1852.0d, 'm') AS m, "
+            "       geo_to_unit(1852.0d, 'nmi') AS nmi, "
+            "       geo_to_unit(1852.0d, CAST(NULL AS STRING)) AS nul"
+        ).collect()[0]
+        assert row.m == 1852.0 and row.nmi == 1.0 and row.nul is None
+
     def test_unknown_metric_raises(self, spark, sql_pts):
         with pytest.raises(Exception, match="unknown metric"):
             spark.sql("SELECT geo_to_unit(1.0d, 'furlong')").collect()

@@ -140,6 +140,33 @@ class TestParser:
                 except ValueError:
                     pass
 
+    def test_lying_mvhd_size_raises_not_misreads(self):
+        # shrink mvhd's size so its fixed fields would land in the
+        # following box — must raise, not return the neighbor's bytes
+        # as timescale/duration
+        p = bytearray(_synth_mp4("mvhd-lie"))
+        i = bytes(p).find(b"mvhd")
+        assert i > 0
+        p[i - 4:i] = (8 + 4).to_bytes(4, "big")  # header + 4 payload bytes
+        with pytest.raises(ValueError, match="mvhd"):
+            parse_mp4_header(bytes(p))
+
+    def test_out_of_payload_chunk_offset_raises(self):
+        # stco pointing past the payload: slicing would clamp silently,
+        # shipping empty frame bytes — the table build must raise
+        ref = "stco-lie"
+        p = bytearray(_synth_mp4(ref))
+        i = bytes(p).find(b"stco")
+        if i < 0:
+            i = bytes(p).find(b"co64")
+            off_pos = i + 4 + 4 + 4  # type + version/flags + count
+            p[off_pos:off_pos + 8] = (len(p) + 1000).to_bytes(8, "big")
+        else:
+            off_pos = i + 4 + 4 + 4
+            p[off_pos:off_pos + 4] = (len(p) + 1000).to_bytes(4, "big")
+        with pytest.raises(ValueError, match="overruns the payload"):
+            mp4_frame_table(bytes(p))
+
     def test_poisoned_sample_count_raises_without_allocating(self):
         # stsz declaring 2^31 samples inside a tiny box
         p = bytearray(_synth_mp4("poison"))
