@@ -283,14 +283,31 @@ def run_bench(spark, sf_dir: str) -> dict[str, float]:
     return timings
 
 
+def _host_probe() -> dict:
+    """Load + steal snapshot — this shared host swings 5x under
+    co-tenant bursts, so every recording carries the evidence needed
+    to tell engine regressions from noise."""
+    out = {}
+    try:
+        with open("/proc/loadavg") as f:
+            out["load1"] = float(f.read().split()[0])
+        with open("/proc/stat") as f:
+            out["steal_ticks"] = int(f.readline().split()[8])
+    except (OSError, IndexError, ValueError):
+        pass
+    return out
+
+
 def main():
     from geodistpy_spark import get_spark
 
     spark = get_spark(app_name="geodistpy_spark_bench", master=f"local[{CPUS}]",
                       shuffle_partitions=int(CPUS) * 4)
+    h0 = _host_probe()
     t0 = time.perf_counter()
     timings = run_bench(spark, SF_DIR)
     total = round(time.perf_counter() - t0, 3)
+    h1 = _host_probe()
     n_docs = timings.pop("_n_docs")
     n_geo = timings.pop("_n_geo")
     # docs/sec over the spatial pipeline segment (extract+index+joins+zonal)
@@ -307,6 +324,12 @@ def main():
         "n_docs": n_docs,
         "n_geo_points": n_geo,
         "cpus": int(CPUS),
+        "host": {
+            "load1_start": h0.get("load1"),
+            "load1_end": h1.get("load1"),
+            "steal_ticks": (h1.get("steal_ticks", 0) - h0.get("steal_ticks", 0))
+            if "steal_ticks" in h0 else None,
+        },
     }
     scaling_path = os.path.join(_REPO, "BENCH", "scaling.json")
     if os.path.exists(scaling_path):
