@@ -100,6 +100,23 @@ def destination_udf(ellipsoid="WGS-84"):
     return _destination
 
 
+def midpoint_udf(ellipsoid="WGS-84"):
+    """Scalar pandas UDF: (lat1, lon1, lat2, lon2) -> struct<lat, lon>
+    geodesic midpoint (= interpolate with one interior waypoint;
+    reference contract distance.py:359-384)."""
+    a, f = resolve_ellipsoid(ellipsoid)
+
+    @F.pandas_udf(_POINT_SCHEMA)
+    def _midpoint(lat1: pd.Series, lon1: pd.Series,
+                  lat2: pd.Series, lon2: pd.Series) -> pd.DataFrame:
+        la, lo = K.interpolate_points(lat1.to_numpy(), lon1.to_numpy(),
+                                      lat2.to_numpy(), lon2.to_numpy(),
+                                      1, a, f)
+        return pd.DataFrame({"lat": la[:, 0], "lon": lo[:, 0]})
+
+    return _midpoint
+
+
 def interpolate_udf(n_points: int, ellipsoid="WGS-84"):
     """Scalar pandas UDF returning array<struct<lat, lon>> of n interior
     waypoints (endpoints excluded; n+1 equal segments — reference

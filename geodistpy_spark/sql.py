@@ -31,6 +31,8 @@ Registered names (default prefix ``geo_``):
 ``geo_cell_id``       quad-grid cell id at runtime res (SQL UDF)
 ``geo_parent_cell``   ancestor cell id at coarser res (SQL UDF)
 ``geo_vincenty_m``    exact ellipsoidal distance (pandas UDF, Arrow)
+``geo_destination_vincenty`` exact ellipsoidal direct (pandas UDF)
+``geo_midpoint``      exact geodesic midpoint (pandas UDF, Arrow)
 ===================== ===============================================
 
 Reference parity: these expose the same kernels as the reference's
@@ -165,7 +167,8 @@ _SQL_UDFS: dict[str, tuple[str, str, str]] = {
                     _parent_cell_body()),
 }
 
-SQL_FUNCTION_NAMES = tuple(f"geo_{k}" for k in _SQL_UDFS) + ("geo_vincenty_m",)
+SQL_FUNCTION_NAMES = tuple(f"geo_{k}" for k in _SQL_UDFS) + (
+    "geo_vincenty_m", "geo_destination_vincenty", "geo_midpoint")
 
 
 def register_sql_functions(spark: SparkSession, prefix: str = "geo_",
@@ -184,8 +187,12 @@ def register_sql_functions(spark: SparkSession, prefix: str = "geo_",
             f"CREATE OR REPLACE TEMPORARY FUNCTION {prefix}{name}({args}) "
             f"RETURNS {rtype} RETURN {body}")
         names.append(f"{prefix}{name}")
-    from .functions.udfs import vincenty_udf
+    from .functions.udfs import destination_udf, midpoint_udf, vincenty_udf
 
     spark.udf.register(f"{prefix}vincenty_m", vincenty_udf(ellipsoid=ellipsoid))
-    names.append(f"{prefix}vincenty_m")
+    spark.udf.register(f"{prefix}destination_vincenty",
+                       destination_udf(ellipsoid=ellipsoid))
+    spark.udf.register(f"{prefix}midpoint", midpoint_udf(ellipsoid=ellipsoid))
+    names += [f"{prefix}vincenty_m", f"{prefix}destination_vincenty",
+              f"{prefix}midpoint"]
     return tuple(names)

@@ -108,6 +108,42 @@ def main(paths):
                         if e is not None)
     pipe_effs = sorted(e for e in (run_eff(r, pipe) for _, r in usable)
                        if e is not None)
+
+    # steal-vs-efficiency evidence: hypervisor steal on the hi (4N)
+    # level mechanically DEPRESSES the measured ratio (it inflates the
+    # denominator wall), steal on the lo level inflates it. Rather than
+    # excluding runs by a post-hoc threshold, report every run's
+    # (efficiency, steal) triple plus a least-squares zero-steal
+    # intercept — the contention-free efficiency the fleet of sweeps
+    # points at.
+    steal_rows = []
+    for p, r in usable:
+        e = run_eff(r, qnames)
+        la = r.get("load_avg") or {}
+        s_hi = (la.get(hi) or la.get(str(hi)) or {}).get("steal_cores")
+        s_lo = (la.get(lo) or la.get(str(lo)) or {}).get("steal_cores")
+        if e is not None and s_hi is not None:
+            steal_rows.append({"run": os.path.basename(p),
+                               "suite_efficiency": round(e, 3),
+                               "steal_cores_hi": s_hi,
+                               "steal_cores_lo": s_lo})
+    steal_fit = None
+    if len(steal_rows) >= 3:
+        xs = [row["steal_cores_hi"] for row in steal_rows]
+        ys = [row["suite_efficiency"] for row in steal_rows]
+        n = len(xs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        sxx = sum((x - mx) ** 2 for x in xs)
+        if sxx > 0:
+            b = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sxx
+            steal_fit = {
+                "slope_per_steal_core": round(b, 3),
+                "zero_steal_intercept": round(my - b * mx, 3),
+                "note": ("suite efficiency regressed on hi-level "
+                         "steal-cores across all comparable sweeps; the "
+                         "intercept estimates the contention-free "
+                         "efficiency without excluding any run"),
+            }
     med = lambda xs: xs[len(xs) // 2] if len(xs) % 2 else \
         (xs[len(xs) // 2 - 1] + xs[len(xs) // 2]) / 2
     # timing-info table (best-of-sweeps walls) kept, with a flag for
@@ -138,6 +174,8 @@ def main(paths):
             "table)"),
         "cross_run_minima": cross_run,
         "contributing_run": contributing,
+        "per_run_steal_evidence": steal_rows,
+        "steal_efficiency_fit": steal_fit,
         "runs": [os.path.basename(p) for p in paths],
         "note": runs[-1].get("note"),
     }

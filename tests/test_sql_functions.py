@@ -49,7 +49,7 @@ class TestSqlFunctions:
     def test_registration_returns_all_names(self, spark, sql_pts):
         names = register_sql_functions(spark)  # idempotent re-register
         assert names == SQL_FUNCTION_NAMES
-        assert len(names) == 9
+        assert len(names) == 11
 
     def test_scalar_functions_bit_identical(self, spark, sql_pts):
         got = spark.sql("""
@@ -93,6 +93,31 @@ class TestSqlFunctions:
             vincenty_udf()("lat1", "lon1", "lat2", "lon2").alias("v")
         ).toPandas()
         assert (got["v"].values == want["v"].values).all()
+
+    def test_midpoint_and_ellipsoidal_destination_match_udfs(self, spark,
+                                                             sql_pts):
+        from geodistpy_spark.functions.udfs import (destination_udf,
+                                                    midpoint_udf)
+        got = spark.sql(
+            "SELECT geo_midpoint(lat1, lon1, lat2, lon2) AS mid, "
+            "       geo_destination_vincenty(lat1, lon1, b, d) AS dst "
+            "FROM sql_pts LIMIT 300").toPandas()
+        want = sql_pts.limit(300).select(
+            midpoint_udf()("lat1", "lon1", "lat2", "lon2").alias("mid"),
+            destination_udf()("lat1", "lon1", "b", "d").alias("dst"),
+        ).toPandas()
+        for c in ("mid", "dst"):
+            for g, w in zip(got[c], want[c]):
+                assert g["lat"] == w["lat"] and g["lon"] == w["lon"]
+        # midpoint is equidistant from both endpoints (exact kernel
+        # property, checked through the SQL surface end-to-end)
+        row = spark.sql("""
+            SELECT geo_vincenty_m(lat1, lon1, m.lat, m.lon) AS d1,
+                   geo_vincenty_m(lat2, lon2, m.lat, m.lon) AS d2
+            FROM (SELECT lat1, lon1, lat2, lon2,
+                         geo_midpoint(lat1, lon1, lat2, lon2) AS m
+                  FROM sql_pts LIMIT 50)""").toPandas()
+        assert (abs(row["d1"] - row["d2"]) < 1e-3).all()
 
     def test_null_coordinates_propagate_null(self, spark, sql_pts):
         # greatest/least SKIP nulls, so without explicit guards a null
