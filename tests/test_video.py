@@ -222,6 +222,44 @@ class TestSpark:
             assert len(idxs) == len(set(idxs))  # deduplicated picks
             assert len(idxs) <= 4
 
+    def test_streaming_video_decode_matches_batch(self, spark,
+                                                  fixture_paths, tmp_path):
+        # the whole fetch -> parse chain is stateless mapInPandas, so
+        # it runs unchanged under readStream; gate the streamed result
+        # against the batch pipeline (same rows, same parsed headers)
+        import os
+        import shutil
+
+        from geodistpy_spark.sources.documents import extract_media_spans
+        from geodistpy_spark.textops.video import decode_video_meta as dvm
+
+        src = str(tmp_path / "vstream_in")
+        os.makedirs(src, exist_ok=True)
+        shutil.copy(fixture_paths["documents"],
+                    os.path.join(src, "part-0.parquet"))
+        docs_schema = spark.read.parquet(fixture_paths["documents"]).schema
+        stream = spark.readStream.schema(docs_schema).parquet(src)
+        spans = extract_media_spans(stream).select(
+            "doc_id", "span_idx", "media_ref")
+        meta = dvm(fetch_video_bytes(spans))
+        assert meta.isStreaming
+        q = (meta.writeStream.format("memory").queryName("video_stream")
+             .outputMode("append").start())
+        try:
+            q.processAllAvailable()
+            got = {(r.doc_id, r.span_idx):
+                   (r.brand, r.width, r.height, r.n_frames)
+                   for r in spark.sql(
+                       "SELECT * FROM video_stream").collect()}
+        finally:
+            q.stop()
+        batch = {(r.doc_id, r.span_idx):
+                 (r.brand, r.width, r.height, r.n_frames)
+                 for r in video_feature_pipeline(
+                     spark.read.parquet(fixture_paths["documents"])
+                 ).collect()}
+        assert got == batch and len(got) > 0
+
     def test_null_payload_surfaces_value_error(self, spark):
         import pandas as pd
         pdf = pd.DataFrame({"doc_id": ["d0"], "span_idx": [0],
