@@ -167,3 +167,52 @@ class TestCurationJob:
             assert curation_pipeline.main(argv, stop_session=False) == 0
         second = buf2.getvalue().strip().splitlines()[-1]
         assert "0 chunks executed" in second, second
+
+    def test_media_curation_pipeline_runs_and_resumes(self, spark,
+                                                      fixture_paths,
+                                                      tmp_path):
+        # job-level smoke of jobs/media_curation_pipeline.py: one row
+        # per media span with all three modalities decoded, keep gates
+        # consistent with the thresholds, and a re-run executes 0
+        # chunks with identical committed rows
+        import io
+        import sys as _sys
+        from contextlib import redirect_stdout
+
+        _sys.path.insert(0, "jobs")
+        import media_curation_pipeline
+
+        from geodistpy_spark.sources.documents import extract_media_spans
+
+        out = str(tmp_path / "media_curated")
+        argv = ["--docs", fixture_paths["documents"], "--out", out,
+                "--chunks", "2", "--min-pixels", str(64 * 64)]
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            assert media_curation_pipeline.main(
+                argv, stop_session=False) == 0
+        first = buf.getvalue().strip().splitlines()[-1]
+        assert "2 chunks executed" in first, first
+
+        from geodistpy_spark.plans import CheckpointedRun
+
+        res = CheckpointedRun(out, key_col="span_key", n_chunks=2) \
+            .result(spark).cache()
+        n_spans = extract_media_spans(
+            spark.read.parquet(fixture_paths["documents"])).count()
+        assert res.count() == n_spans and n_spans > 0
+        # gates are consistent with the decoded columns they derive from
+        bad = res.filter(
+            (res.keep_image != (res.img_w * res.img_h >= 64 * 64))
+            | (res.keep != (res.keep_image & res.keep_audio
+                            & res.keep_video))).count()
+        assert bad == 0
+        assert res.filter(res.v_fps.isNull()).count() == 0
+        res.unpersist()
+
+        buf2 = io.StringIO()
+        with redirect_stdout(buf2):
+            assert media_curation_pipeline.main(
+                argv, stop_session=False) == 0
+        second = buf2.getvalue().strip().splitlines()[-1]
+        assert "0 chunks executed" in second, second
