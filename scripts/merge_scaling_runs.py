@@ -146,6 +146,23 @@ def main(paths):
             }
     med = lambda xs: xs[len(xs) // 2] if len(xs) % 2 else \
         (xs[len(xs) // 2 - 1] + xs[len(xs) // 2]) / 2
+    # cleanest-run headline: the whole-run pair with the LEAST total
+    # recorded steal. The best-pair maximum is biased upward (lo-level
+    # steal inflates a ratio; a max over noisy ratios picks the
+    # inflated one), so alongside best/median we name the run whose
+    # measurement carried the least co-tenant CPU contention. Note the
+    # run-14 caveat: zero steal does not rule out memory-bandwidth
+    # contention (see BENCH/io_calibration.json), so this is still one
+    # evidence point, not ground truth.
+    cleanest = None
+    if steal_rows:
+        c = min(steal_rows,
+                key=lambda r: (r["steal_cores_hi"] or 0)
+                + (r["steal_cores_lo"] or 0))
+        cleanest = {"run": c["run"],
+                    "suite_efficiency": c["suite_efficiency"],
+                    "steal_cores_hi": c["steal_cores_hi"],
+                    "steal_cores_lo": c["steal_cores_lo"]}
     # timing-info table (best-of-sweeps walls) kept, with a flag for
     # queries whose lo/hi minima come from different sweeps
     cross_run = [q for q in qnames
@@ -176,6 +193,7 @@ def main(paths):
         "contributing_run": contributing,
         "per_run_steal_evidence": steal_rows,
         "steal_efficiency_fit": steal_fit,
+        "cleanest_run": cleanest,
         "runs": [os.path.basename(p) for p in paths],
         "note": runs[-1].get("note"),
     }
