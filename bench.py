@@ -345,6 +345,14 @@ def main():
             "pipeline_efficiency": s["pipeline_efficiency"],
             "per_query_efficiency": s["per_query_efficiency"],
         }
+        # the best whole-run pair above is biased upward by lo-level
+        # steal; surface the honest trio alongside it when the merged
+        # artifact carries them (median over all runs, the least-steal
+        # run's pair, and the zero-steal regression intercept)
+        for k in ("suite_efficiency_median", "cleanest_run",
+                  "steal_efficiency_fit"):
+            if s.get(k) is not None:
+                out["scaling_suite"][k] = s[k]
     print(json.dumps(out))
     spark.stop()
 
