@@ -109,9 +109,36 @@ def run_level(cpus: int) -> dict:
     return rec
 
 
+def warm_page_cache() -> float:
+    """Sequentially read every bench source file once so both levels see
+    a warm page cache. Runs 25 and 26 were deflated by a pure
+    environment asymmetry: the FIRST level (local[8], the ratio's
+    denominator) paid cold disk reads for every source after a VM
+    reboot / cache eviction while the second level read from memory —
+    producing q1 local[8] walls slower in ABSOLUTE terms than the same
+    query's local[2] wall, which no engine property can cause. The
+    corpus (~5 GB) fits the 125 GB host cache many times over."""
+    bench_dir = os.path.join(_REPO, ".bench_work")
+    t0 = time.perf_counter()
+    n_bytes = 0
+    for root, _dirs, files in os.walk(bench_dir):
+        for f in files:
+            with open(os.path.join(root, f), "rb") as fh:
+                while True:
+                    chunk = fh.read(1 << 24)
+                    if not chunk:
+                        break
+                    n_bytes += len(chunk)
+    dt = time.perf_counter() - t0
+    print(f"[warmup] {n_bytes / 1e9:.2f} GB read into page cache "
+          f"in {dt:.1f}s", flush=True)
+    return dt
+
+
 def main():
     results = {}
     loads = {}
+    warm_page_cache()
     for cpus in LEVELS:
         l0 = wait_quiet()
         print(f"[local[{cpus}]] start (load {l0:.2f}) ...", flush=True)
