@@ -298,9 +298,32 @@ def _host_probe() -> dict:
     return out
 
 
+def _wait_quiet(limit: float = 2.0, max_wait_s: float = 300.0) -> float:
+    """Bounded wait for the 1-min load average to drop under ``limit``
+    before recording. This shared host swings 5x under co-tenant
+    bursts (the round-4 recording started inside one and measured
+    1.25-1.4x slower across queries whose code had not changed);
+    deferring the start by up to 5 minutes is cheaper than a poisoned
+    recording. Returns seconds waited; set
+    SPARK_GRAFT_BENCH_NOWAIT=1 to skip."""
+    if os.environ.get("SPARK_GRAFT_BENCH_NOWAIT"):
+        return 0.0
+    t0 = time.perf_counter()
+    while True:
+        try:
+            l1 = os.getloadavg()[0]
+        except OSError:
+            return 0.0
+        waited = time.perf_counter() - t0
+        if l1 < limit or waited >= max_wait_s:
+            return round(waited, 1)
+        time.sleep(15)
+
+
 def main():
     from geodistpy_spark import get_spark
 
+    waited = _wait_quiet()
     spark = get_spark(app_name="geodistpy_spark_bench", master=f"local[{CPUS}]",
                       shuffle_partitions=int(CPUS) * 4)
     h0 = _host_probe()
@@ -329,6 +352,7 @@ def main():
             "load1_end": h1.get("load1"),
             "steal_ticks": (h1.get("steal_ticks", 0) - h0.get("steal_ticks", 0))
             if "steal_ticks" in h0 else None,
+            "waited_for_quiet_s": waited,
         },
     }
     scaling_path = os.path.join(_REPO, "BENCH", "scaling.json")

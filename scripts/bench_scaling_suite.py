@@ -94,6 +94,9 @@ def run_level(cpus: int) -> dict:
         "SPARK_GRAFT_BENCH_EMB": str(N_EMB),
         "SPARK_GRAFT_BENCH_REPS": REPS,
         "SPARK_DRIVER_MEMORY": "48g",
+        # the sweep gates each level on load itself (wait_quiet above);
+        # bench.py's own start-quiet wait would only double-wait here
+        "SPARK_GRAFT_BENCH_NOWAIT": "1",
     })
     t0 = time.perf_counter()
     s0 = steal_jiffies()
