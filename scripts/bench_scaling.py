@@ -209,7 +209,11 @@ def main():
     lines += ["```", ""]
 
     os.makedirs(os.path.join(_REPO, "BENCH"), exist_ok=True)
+    # BENCH/BASELINE.md is hand-curated with the full sweep-campaign
+    # narrative after the first generation — never clobber it
     out_path = os.path.join(_REPO, "BENCH", "BASELINE.md")
+    if os.path.exists(out_path):
+        out_path = os.path.join(_REPO, "BENCH", "BASELINE_generated.md")
     with open(out_path, "w") as f:
         f.write("\n".join(lines))
     with open(os.path.join(_REPO, "BENCH", "scaling.json"), "w") as f:
@@ -218,6 +222,15 @@ def main():
             "efficiency": round(eff_primary, 3),
             "efficiency_host_corrected": round(eff_primary / ceil_primary, 3),
             "eff_8_32": round(eff_8_32, 3),
+            "eff_8_32_note": (
+                "reference only, NOT the north-rule pair: a local[k] job "
+                "bursts to ~2k busy vCPUs (k JVM task threads + k Python "
+                "workers), and this shared 32-vCPU host's per-core "
+                "throughput cliffs above ~16 busy vCPUs (see BENCH/"
+                "io_calibration.json and the host-calibration section of "
+                "BENCH/BASELINE.md), so 8->32 measures the host ceiling, "
+                "not the engine; 2->8 is the widest pair that measures "
+                "the engine"),
             "kernel_fleet_eff_2_8": round(kern_eff, 3),
         }, f)
     print(f"wrote {out_path}: eff({n}->{n4})={eff_primary:.3f} "
