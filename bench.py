@@ -253,8 +253,19 @@ def run_bench(spark, sf_dir: str) -> dict[str, float]:
     flat = spark.read.parquet(
         ensure_bench_texts(n_texts) if n_texts
         else f"{sf_dir}/documents.parquet")
-    timed("q6_minhash_dedup", lambda: near_duplicates_minhash(
-        flat, threshold=0.5).count())
+    def _q6():
+        # evict the pipeline's caches after each rep: the cached shingle
+        # relation is plan-canonicalization-reused across reps, so
+        # without eviction every rep after the first measures only the
+        # warm-cache increment (seconds) instead of the full
+        # corpus-sized derivation a production run pays
+        caches: list = []
+        n = near_duplicates_minhash(flat, threshold=0.5, caches=caches).count()
+        for c in caches:
+            c.unpersist(blocking=True)
+        return n
+
+    timed("q6_minhash_dedup", _q6)
 
     # q7: embedding cosine top-k (SPARK_GRAFT_BENCH_EMB scales the
     # vector table for the scaling sweeps)

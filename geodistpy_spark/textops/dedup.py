@@ -184,14 +184,93 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
 
 def ngram_jaccard(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", k: int = 3,
-                  _shingles: DataFrame | None = None) -> DataFrame:
+                  _shingles: DataFrame | None = None,
+                  small_pairs: bool = False) -> DataFrame:
     """Exact shingle-set Jaccard for given (id_1, id_2) pairs.
 
-    Joins the distinct-shingle relation to itself through the pair list:
-    |A ∩ B| by equi-join on shingle, |A ∪ B| = |A| + |B| − |A ∩ B|.
+    Two physical strategies, identical output:
+
+    - default (``small_pairs=False``): joins the distinct-shingle
+      relation to itself through the pair list — |A ∩ B| by equi-join
+      on shingle, |A ∪ B| = |A| + |B| − |A ∩ B|. Right when the pair
+      set is comparable to the corpus, but it shuffles the ENTIRE
+      shingle relation by id twice plus once for the sizes agg (the
+      measured q6 limiter: ~85 of 132 core-seconds at 800k docs were
+      these three corpus-sized exchanges).
+    - ``small_pairs=True`` (the LSH-output regime: candidate docs ≪
+      corpus): broadcast-semi-join the shingle relation down to docs
+      that appear in any pair, collect each survivor's shingle set
+      into ONE array row, and verify with codegen'd
+      ``array_intersect`` — the only corpus-sized work is a map-side
+      semi-filter scan; nothing corpus-sized ever shuffles. Requires
+      the per-doc-distinct shingle contract that :func:`shingles`
+      guarantees (``array_intersect`` dedupes, so duplicated
+      (doc, shingle) rows would change counts vs the relational form),
+      and DISTINCT pairs (the pivot groups by (id_1, id_2), so a
+      duplicated input pair collapses to one output row where the
+      relational form would emit it twice — LSH candidates are
+      distinct by construction). The caller must ensure the
+      distinct-id set of ``pairs`` is broadcastable
+      (:func:`near_duplicates_minhash` gates on a pair count it has
+      already materialized).
     """
-    sh = _shingles if _shingles is not None else shingles(
-        df.select(id_col, text_col), text_col, k).cache()
+    if _shingles is not None:
+        sh = _shingles
+    else:
+        sh = shingles(df.select(id_col, text_col), text_col, k).cache()
+        sh.count()  # eager materialization (see near_duplicates_minhash)
+    if small_pairs:
+        cand = (
+            pairs.select(F.col("id_1").alias(id_col))
+            .union(pairs.select(F.col("id_2").alias(id_col)))
+            .distinct()
+        )
+        doc_sh = (
+            sh.join(F.broadcast(cand), on=id_col, how="left_semi")
+            .groupBy(id_col)
+            .agg(F.collect_list("shingle").alias("__shs"))
+        )
+        # consume doc_sh exactly ONCE: joining it twice (id_1 side,
+        # id_2 side) defeats exchange reuse in practice and re-derives
+        # the semi-filtered corpus scan per side — instead explode each
+        # pair into its two (pair, side, doc) rows, join doc_sh once,
+        # and pivot the two sides back together in one small shuffle
+        sides = pairs.select(
+            "id_1", "id_2",
+            F.explode(F.array(
+                F.struct(F.col("id_1").alias(id_col), F.lit(1).alias("__side")),
+                F.struct(F.col("id_2").alias(id_col), F.lit(2).alias("__side")),
+            )).alias("__s"),
+        ).select("id_1", "id_2", F.col(f"__s.{id_col}").alias(id_col),
+                 F.col("__s.__side").alias("__side"))
+        paired = (
+            F.broadcast(sides).join(doc_sh, on=id_col)
+            .groupBy("id_1", "id_2")
+            .agg(
+                F.first(F.when(F.col("__side") == 1, F.col("__shs")),
+                        ignorenulls=True).alias("__shs1"),
+                F.first(F.when(F.col("__side") == 2, F.col("__shs")),
+                        ignorenulls=True).alias("__shs2"),
+            )
+            # a pair whose doc has no shingles (< k words) never joined
+            # on that side: drop it, mirroring the relational strategy's
+            # inner join against the sizes relation
+            .filter(F.col("__shs1").isNotNull() & F.col("__shs2").isNotNull())
+        )
+        return (
+            paired
+            # cast: F.size is int32, the relational count() is int64 —
+            # the two strategies must be schema-identical
+            .withColumn("n_inter",
+                        F.size(F.array_intersect("__shs1", "__shs2")).cast("long"))
+            .withColumn("n_1", F.size("__shs1").cast("long"))
+            .withColumn("n_2", F.size("__shs2").cast("long"))
+            .withColumn(
+                "jaccard",
+                F.col("n_inter") / (F.col("n_1") + F.col("n_2") - F.col("n_inter")),
+            )
+            .select("id_1", "id_2", "n_inter", "n_1", "n_2", "jaccard")
+        )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     inter = (
         pairs.join(sh.select(F.col(id_col).alias("id_1"), "shingle"), on="id_1")
@@ -218,20 +297,37 @@ def near_duplicates_minhash(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", k: int = 3,
                             threshold: float = 0.7,
                             hash_fn: str = "xxhash64",
-                            hash_shingles: bool | None = None) -> DataFrame:
+                            hash_shingles: bool | None = None,
+                            small_pairs_max: int = 2_000_000,
+                            caches: list | None = None) -> DataFrame:
     """Full near-dup pipeline: LSH candidates -> exact Jaccard verify.
-    The shingle relation is computed ONCE and shared (cached) by the
-    signature and verify stages — it is the pipeline's only repeated
-    corpus-sized intermediate.
+
+    The shingle relation is computed ONCE, cached, and shared by the
+    signature and verify stages, and the cache is materialized eagerly
+    — see the inline comment for both measured rationales. The
+    candidate pairs are likewise cached and counted; when the count is
+    at most ``small_pairs_max`` (distinct candidate ids then fit a
+    cheap broadcast: 2M pairs -> <= 4M int64 ids, ~32 MB), the verify
+    stage uses :func:`ngram_jaccard`'s ``small_pairs`` strategy, which
+    never SHUFFLES anything corpus-sized — one map-side semi-filtered
+    pass over the cache replaces the relational strategy's three
+    corpus-sized exchanges (measured on the 800k-doc sweep corpus:
+    q6 19 -> ~11 s at local[8], 44 -> ~33 s at local[2]). Above the
+    gate (candidates a large fraction of the corpus) the relational
+    strategy is the right plan and the same shared cache serves its
+    three consumers.
+
+    ``caches``: a list that receives the two cached intermediates
+    (shingle relation, candidate pairs) so a caller that has fully
+    consumed the result can ``unpersist()`` them — the result is lazy,
+    so the function itself cannot safely release them.
 
     ``hash_shingles`` (default: on iff ``hash_fn == 'xxhash64'``)
-    collapses each distinct shingle string to ONE xxhash64 long before
-    the cache: every downstream consumer (12 seed-hash mins, the band
-    self-join, both Jaccard intersection joins) only needs shingle
-    EQUALITY and hash uniformity, never the text, so an 8-byte long
-    replaces a ~25-50-byte string in the pipeline's one corpus-sized
-    in-memory relation and every shuffle built from it. The measured
-    q6 limiter is exactly this relation's memory traffic (see
+    collapses each distinct shingle string to ONE xxhash64 long at
+    the source: every downstream consumer (12 seed-hash mins, the
+    band self-join, the Jaccard verify) only needs shingle EQUALITY
+    and hash uniformity, never the text, so an 8-byte long replaces a
+    ~25-50-byte string in every corpus-sized scan and shuffle (see
     BENCH/q6_stage_probe.json). The mapping is injective in practice:
     expected colliding distinct-shingle pairs is D^2 / 2^65 — 2.8e-5
     at D = 32M distinct shingles, ~0.03 even at D = 1e9 — and one
@@ -243,12 +339,24 @@ def near_duplicates_minhash(df: DataFrame, id_col: str = "doc_id",
     sh = shingles(df.select(id_col, text_col), text_col, k)
     if hash_shingles:
         sh = sh.select(id_col, F.xxhash64("shingle").alias("shingle"))
+    # cache the shingle relation: deriving it (tokenize + explode +
+    # hash) measured ~100 core-seconds at 800k docs — far more than the
+    # cache build it avoids paying twice (a no-cache two-scan variant
+    # was tried and lost: the explode CPU, not the cached bytes, is the
+    # corpus-sized cost). Materialize EAGERLY (one count) before any
+    # consumer plan exists: AQE compiles downstream queries into
+    # independent exchange-materialization futures, and on an
+    # unmaterialized cache they race to re-derive it concurrently
     sh = sh.cache()
+    sh.count()
     pairs = lsh_candidate_pairs(df, id_col, text_col, k, hash_fn=hash_fn,
-                                _shingles=sh)
-    return ngram_jaccard(df, pairs, id_col, text_col, k, _shingles=sh).filter(
-        F.col("jaccard") >= threshold
-    )
+                                _shingles=sh).cache()
+    n_pairs = pairs.count()
+    if caches is not None:
+        caches.extend([sh, pairs])
+    return ngram_jaccard(df, pairs, id_col, text_col, k, _shingles=sh,
+                         small_pairs=n_pairs <= small_pairs_max).filter(
+        F.col("jaccard") >= threshold)
 
 
 def connected_components(nodes: DataFrame, pairs: DataFrame,

@@ -76,6 +76,33 @@ class TestDedup:
         assert len(common) > 0
         assert hashed.loc[common].equals(strings.loc[common])
 
+    def test_jaccard_small_pairs_strategy_matches_relational(self, spark):
+        # the broadcast/array verify strategy (small_pairs=True) must be
+        # value-identical to the relational two-join form on explicit
+        # pairs, including a ZERO-overlap pair (n_inter=0 comes from the
+        # left-join fill in one strategy and an empty array_intersect in
+        # the other) and a pair touching a doc too short to shingle
+        # (dropped by the inner size/doc_sh join in BOTH strategies)
+        from geodistpy_spark.textops.dedup import ngram_jaccard
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon"),
+             (2, "alpha beta gamma delta zeta"),
+             (3, "completely different words entirely here"),
+             (4, "too short")],
+            "doc_id long, text string")
+        pairs = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 4)], "id_1 long, id_2 long")
+        cols = ["id_1", "id_2", "n_inter", "n_1", "n_2", "jaccard"]
+        rel = ngram_jaccard(docs, pairs).toPandas()[cols].sort_values(
+            ["id_1", "id_2"]).reset_index(drop=True)
+        arr = ngram_jaccard(docs, pairs, small_pairs=True).toPandas()[
+            cols].sort_values(["id_1", "id_2"]).reset_index(drop=True)
+        assert rel.equals(arr)
+        got = set(zip(rel.id_1, rel.id_2))
+        assert (1, 3) in got and (2, 4) not in got
+        assert rel[(rel.id_1 == 1) & (rel.id_2 == 3)].n_inter.iloc[0] == 0
+
     def test_lsh_no_false_pairs_for_disjoint(self, planted):
         pairs = lsh_candidate_pairs(planted).toPandas()
         got = set(zip(pairs.id_1, pairs.id_2))
