@@ -79,8 +79,11 @@ timed("B_minhash_groupby", lambda: sig.agg(
 pairs = lsh_candidate_pairs(docs, _shingles=sh).cache()
 n_pairs = timed("C_lsh_pairs", lambda: pairs.count())
 
-# D: verify joins (pairs x cached shingles)
-ver = ngram_jaccard(docs, pairs, _shingles=sh)
+# D: verify — the production small-pairs broadcast/array strategy
+# (set Q6_PROBE_RELATIONAL=1 for the legacy two-join form that
+# shuffles the whole cached relation twice)
+ver = ngram_jaccard(docs, pairs, _shingles=sh,
+                    small_pairs=not os.environ.get("Q6_PROBE_RELATIONAL"))
 timed("D_jaccard_verify", lambda: ver.filter(
     F.col("jaccard") >= 0.5).count())
 
