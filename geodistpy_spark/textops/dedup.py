@@ -302,25 +302,29 @@ def near_duplicates_minhash(df: DataFrame, id_col: str = "doc_id",
                             caches: list | None = None) -> DataFrame:
     """Full near-dup pipeline: LSH candidates -> exact Jaccard verify.
 
-    The shingle relation is computed ONCE, cached, and shared by the
-    signature and verify stages, and the cache is materialized eagerly
-    — see the inline comment for both measured rationales. The
-    candidate pairs are likewise cached and counted; when the count is
+    NOTHING corpus-sized is ever cached or shuffled on the production
+    path: the candidate stage streams the shingle explode once into
+    the signature agg, and — when the materialized candidate count is
     at most ``small_pairs_max`` (distinct candidate ids then fit a
-    cheap broadcast: 2M pairs -> <= 4M int64 ids, ~32 MB), the verify
-    stage uses :func:`ngram_jaccard`'s ``small_pairs`` strategy, which
-    never SHUFFLES anything corpus-sized — one map-side semi-filtered
-    pass over the cache replaces the relational strategy's three
-    corpus-sized exchanges (measured on the 800k-doc sweep corpus:
-    q6 19 -> ~11 s at local[8], 44 -> ~33 s at local[2]). Above the
-    gate (candidates a large fraction of the corpus) the relational
-    strategy is the right plan and the same shared cache serves its
-    three consumers.
+    cheap broadcast: 2M pairs -> <= 4M int64 ids, ~32 MB) — the verify
+    re-derives shingles only for the candidate docs (broadcast
+    semi-filter on the RAW docs before tokenizing, measured 6-15% of
+    the corpus) and runs :func:`ngram_jaccard`'s ``small_pairs``
+    broadcast/array strategy. Measured on the 800k-doc sweep corpus
+    vs the r4 cached-relational pipeline: 19 -> ~13 s at local[8],
+    44 -> ~33 s at local[2], and no multi-GB block-manager footprint
+    (at 10^12 docs persisting the exploded relation would spill —
+    streaming is the only shape that survives). Above the gate
+    (candidates a large fraction of the corpus) the relational verify
+    reads the full relation three times, so THERE the relation is
+    cached — materialized eagerly (see the inline comment on the AQE
+    materialization race).
 
-    ``caches``: a list that receives the two cached intermediates
-    (shingle relation, candidate pairs) so a caller that has fully
-    consumed the result can ``unpersist()`` them — the result is lazy,
-    so the function itself cannot safely release them.
+    ``caches``: a list that receives the cached intermediates (always
+    the candidate pairs; plus the shingle relation on the relational
+    fallback) so a caller that has fully consumed the result can
+    ``unpersist()`` them — the result is lazy, so the function itself
+    cannot safely release them.
 
     ``hash_shingles`` (default: on iff ``hash_fn == 'xxhash64'``)
     collapses each distinct shingle string to ONE xxhash64 long at
@@ -336,27 +340,57 @@ def near_duplicates_minhash(df: DataFrame, id_col: str = "doc_id",
     mirror stays bit-identical."""
     if hash_shingles is None:
         hash_shingles = hash_fn == "xxhash64"
-    sh = shingles(df.select(id_col, text_col), text_col, k)
-    if hash_shingles:
-        sh = sh.select(id_col, F.xxhash64("shingle").alias("shingle"))
-    # cache the shingle relation: deriving it (tokenize + explode +
-    # hash) measured ~100 core-seconds at 800k docs — far more than the
-    # cache build it avoids paying twice (a no-cache two-scan variant
-    # was tried and lost: the explode CPU, not the cached bytes, is the
-    # corpus-sized cost). Materialize EAGERLY (one count) before any
-    # consumer plan exists: AQE compiles downstream queries into
-    # independent exchange-materialization futures, and on an
-    # unmaterialized cache they race to re-derive it concurrently
-    sh = sh.cache()
-    sh.count()
+
+    def _shingle_rel(docs: DataFrame) -> DataFrame:
+        rel = shingles(docs.select(id_col, text_col), text_col, k)
+        if hash_shingles:
+            rel = rel.select(id_col, F.xxhash64("shingle").alias("shingle"))
+        return rel
+
+    # the candidate stage streams the shingle explode exactly once: the
+    # signature agg is its only consumer, and the band self-join reuses
+    # the signature exchange (measured — no double derivation), so
+    # NOTHING corpus-sized is cached or spilled here. That is the shape
+    # that survives 10^12 docs, where persisting the exploded relation
+    # (~#shingles x 16 B, several x the corpus) would spill to disk and
+    # pay more bytes than the recomputation it saves.
+    sh = _shingle_rel(df)
     pairs = lsh_candidate_pairs(df, id_col, text_col, k, hash_fn=hash_fn,
                                 _shingles=sh).cache()
     n_pairs = pairs.count()
     if caches is not None:
-        caches.extend([sh, pairs])
-    return ngram_jaccard(df, pairs, id_col, text_col, k, _shingles=sh,
-                         small_pairs=n_pairs <= small_pairs_max).filter(
-        F.col("jaccard") >= threshold)
+        caches.append(pairs)
+    if n_pairs <= small_pairs_max:
+        # verify needs shingles for CANDIDATE docs only (measured
+        # 6-15% of the corpus): semi-filter the raw docs by broadcast
+        # before tokenizing, so the second explode pays only for docs
+        # under verification, and hand ngram_jaccard that narrow
+        # relation
+        cand = (
+            pairs.select(F.col("id_1").alias(id_col))
+            .union(pairs.select(F.col("id_2").alias(id_col)))
+            .distinct()
+        )
+        cand_docs = df.select(id_col, text_col).join(
+            F.broadcast(cand), on=id_col, how="left_semi")
+        out = ngram_jaccard(df, pairs, id_col, text_col, k,
+                            _shingles=_shingle_rel(cand_docs),
+                            small_pairs=True)
+    else:
+        # relational verify re-reads the full relation three times:
+        # there a cache pays off (one extra explode to build it beats
+        # three). Materialize EAGERLY (one count) before the consumer
+        # plan exists: AQE compiles the query into independent
+        # exchange-materialization futures, and on an unmaterialized
+        # cache they race to re-derive it concurrently (~100 duplicated
+        # core-seconds measured at 800k docs)
+        sh = sh.cache()
+        sh.count()
+        if caches is not None:
+            caches.append(sh)
+        out = ngram_jaccard(df, pairs, id_col, text_col, k, _shingles=sh,
+                            small_pairs=False)
+    return out.filter(F.col("jaccard") >= threshold)
 
 
 def connected_components(nodes: DataFrame, pairs: DataFrame,
