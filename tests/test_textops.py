@@ -103,6 +103,26 @@ class TestDedup:
         assert (1, 3) in got and (2, 4) not in got
         assert rel[(rel.id_1 == 1) & (rel.id_2 == 3)].n_inter.iloc[0] == 0
 
+    def test_near_dup_relational_branch_matches_small(self, planted):
+        # small_pairs_max=0 forces the relational fallback (cached
+        # shingle relation, two-join verify) — it must agree with the
+        # default small-pairs branch row-for-row, and the caches
+        # out-param must report what each branch actually cached
+        cols = ["id_1", "id_2", "n_inter", "n_1", "n_2", "jaccard"]
+        c_small, c_rel = [], []
+        small = near_duplicates_minhash(
+            planted, threshold=0.1, caches=c_small).toPandas()[
+            cols].sort_values(["id_1", "id_2"]).reset_index(drop=True)
+        rel = near_duplicates_minhash(
+            planted, threshold=0.1, small_pairs_max=0,
+            caches=c_rel).toPandas()[cols].sort_values(
+            ["id_1", "id_2"]).reset_index(drop=True)
+        assert small.equals(rel)
+        assert len(c_small) == 1      # pairs only — nothing corpus-sized
+        assert len(c_rel) == 2        # pairs + the shingle relation
+        for c in c_small + c_rel:
+            c.unpersist()
+
     def test_lsh_no_false_pairs_for_disjoint(self, planted):
         pairs = lsh_candidate_pairs(planted).toPandas()
         got = set(zip(pairs.id_1, pairs.id_2))
