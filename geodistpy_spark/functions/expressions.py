@@ -30,10 +30,13 @@ def haversine_m(lat1, lon1, lat2, lon2, radius: float = EARTH_RADIUS_M) -> Colum
         F.pow(F.sin((p2 - p1) / 2), 2)
         + F.cos(p1) * F.cos(p2) * F.pow(F.sin((l2 - l1) / 2), 2)
     )
-    # the [0, 1] clamp uses greatest/least, which SKIP nulls — without
-    # the guard a null coordinate silently becomes 0 m ("same point"),
-    # which then passes every radius predicate downstream
-    return F.when(
+    # the [0, 1] clamp uses greatest/least, which SKIP nulls and rank
+    # NaN above every number — unguarded, a null coordinate silently
+    # becomes 0 m ("same point") and a NaN coordinate becomes the
+    # antipodal distance (greatest(NaN, 0) = NaN, least(NaN, 1) = 1).
+    # Faithful propagation instead: NULL in -> NULL out, NaN in -> NaN
+    # out (matching the numpy kernels)
+    return F.when(F.isnan(h), h).when(
         h.isNotNull(),
         2.0 * radius * F.asin(F.sqrt(
             F.least(F.greatest(h, F.lit(0.0)), F.lit(1.0)))))
@@ -93,8 +96,15 @@ def destination_sphere(lat, lon, bearing_deg, dist_m,
     # null-input guard: greatest(NULL, -1) = -1 would otherwise turn a
     # null coordinate into lat = -90 (the south pole). Guard on l2, not
     # sp2: sp2 never involves lon, so a NULL longitude would slip
-    # through an sp2-only check with a fabricated latitude.
-    return F.when(sp2.isNotNull() & l2.isNotNull(), F.struct(
+    # through an sp2-only check with a fabricated latitude. NaN guard:
+    # the asin clamp ranks NaN above 1, so a NaN coordinate would land
+    # exactly on the NORTH pole — propagate struct(NaN, NaN) instead
+    # (matching the Vincenty-direct Arrow path on NaN input)
+    nan = F.lit(float("nan"))
+    return F.when(
+        F.isnan(sp2) | F.isnan(l2),
+        F.struct(nan.alias("lat"), nan.alias("lon")),
+    ).when(sp2.isNotNull() & l2.isNotNull(), F.struct(
         F.degrees(p2).alias("lat"),
         (F.pmod(F.degrees(l2) + 180.0, F.lit(360.0)) - 180.0).alias("lon"),
     ))
@@ -102,19 +112,24 @@ def destination_sphere(lat, lon, bearing_deg, dist_m,
 
 def cell_x(lon, res: int) -> Column:
     n = 1 << res
-    x = F.floor(F.pmod(_c(lon) + 180.0, F.lit(360.0)) / 360.0 * n)
-    # greatest/least skip nulls, so an unguarded clamp would bin a null
-    # longitude into column 0 — a silent false equi-join key at scale
+    lon = _c(lon)
+    x = F.floor(F.pmod(lon + 180.0, F.lit(360.0)) / 360.0 * n)
+    # greatest/least skip nulls and floor() collapses NaN to a valid
+    # long, so an unguarded clamp would bin a null OR NaN longitude
+    # into a real column — a silent false equi-join key at scale.
+    # A cell id is integral, so both map to NULL (which drops out of
+    # every equi-join/groupBy, the safe behavior)
     return F.when(
-        x.isNotNull(),
+        x.isNotNull() & ~F.isnan(lon),
         F.least(F.greatest(x, F.lit(0)), F.lit(n - 1))).cast("long")
 
 
 def cell_y(lat, res: int) -> Column:
     n = 1 << res
-    y = F.floor((_c(lat) + 90.0) / 180.0 * n)
+    lat = _c(lat)
+    y = F.floor((lat + 90.0) / 180.0 * n)
     return F.when(
-        y.isNotNull(),
+        y.isNotNull() & ~F.isnan(lat),
         F.least(F.greatest(y, F.lit(0)), F.lit(n - 1))).cast("long")
 
 

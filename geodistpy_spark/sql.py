@@ -60,12 +60,14 @@ _F = repr(WGS84_F)
 # bodies must be a single expression, so intermediates are expanded by
 # Python substitution here; codegen CSE collapses the repeats.
 
-# null guard mirrors expressions.haversine_m: greatest/least skip
-# nulls, so the clamp alone would turn a null coordinate into 0 m
+# null/NaN guards mirror expressions.haversine_m: greatest/least skip
+# nulls and rank NaN above every number, so the clamp alone would turn
+# a null coordinate into 0 m and a NaN one into the antipodal distance
 _HAVERSINE_H = """(pow(sin((radians(lat2) - radians(lat1)) / 2), 2)
     + cos(radians(lat1)) * cos(radians(lat2))
       * pow(sin((radians(lon2) - radians(lon1)) / 2), 2))"""
-_HAVERSINE = (f"CASE WHEN {_HAVERSINE_H} IS NOT NULL THEN "
+_HAVERSINE = (f"CASE WHEN isnan({_HAVERSINE_H}) THEN double('NaN') "
+              f"WHEN {_HAVERSINE_H} IS NOT NULL THEN "
               f"2.0d * {_R} * asin(sqrt(least(greatest("
               f"{_HAVERSINE_H}, 0.0d), 1.0d))) END")
 
@@ -105,11 +107,13 @@ def _destination_body() -> str:
            f" + cos({p1}) * sin({d}) * cos({th}))")
     l2 = (f"(radians(lon) + atan2(sin({th}) * sin({d}) * cos({p1}),"
           f" cos({d}) - sin({p1}) * {sp2}))")
-    # null guard mirrors expressions.destination_sphere (a null input
-    # would otherwise clamp to lat = -90); l2 is checked too because
-    # sp2 never involves lon
+    # null/NaN guards mirror expressions.destination_sphere (a null
+    # input would otherwise clamp to lat = -90, a NaN one to the north
+    # pole); l2 is checked too because sp2 never involves lon
     return (
-        f"CASE WHEN {sp2} IS NOT NULL AND {l2} IS NOT NULL "
+        f"CASE WHEN isnan({sp2}) OR isnan({l2}) THEN named_struct("
+        f"'lat', double('NaN'), 'lon', double('NaN')) "
+        f"WHEN {sp2} IS NOT NULL AND {l2} IS NOT NULL "
         f"THEN named_struct("
         f"'lat', degrees(asin(least(greatest({sp2}, -1.0d), 1.0d))), "
         f"'lon', pmod(degrees({l2}) + 180.0d, 360.0d) - 180.0d) END")
@@ -119,10 +123,13 @@ def _cell_id_body() -> str:
     n = "CAST(pow(2, res) AS BIGINT)"
     xraw = f"floor(pmod(lon + 180.0d, 360.0d) / 360.0d * {n})"
     yraw = f"floor((lat + 90.0d) / 180.0d * {n})"
-    # null guards mirror expressions.cell_x/cell_y (clamps skip nulls)
-    x = (f"CASE WHEN {xraw} IS NOT NULL THEN "
+    # null/NaN guards mirror expressions.cell_x/cell_y: clamps skip
+    # nulls, and floor() collapses NaN to a valid long — either would
+    # silently become a real cell id (a false equi-join key); both
+    # map to NULL instead
+    x = (f"CASE WHEN {xraw} IS NOT NULL AND NOT isnan(lon) THEN "
          f"CAST(least(greatest({xraw}, 0), {n} - 1) AS BIGINT) END")
-    y = (f"CASE WHEN {yraw} IS NOT NULL THEN "
+    y = (f"CASE WHEN {yraw} IS NOT NULL AND NOT isnan(lat) THEN "
          f"CAST(least(greatest({yraw}, 0), {n} - 1) AS BIGINT) END")
     return f"({y}) * {n} + ({x})"
 

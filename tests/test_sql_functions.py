@@ -144,6 +144,38 @@ class TestSqlFunctions:
         ).collect()[0]
         assert got.hv is None and got.cid is None and got.dest is None
 
+    def test_nan_coordinates_propagate(self, spark, sql_pts):
+        # greatest/least rank NaN ABOVE every number, so without the
+        # NaN guards a NaN coordinate becomes the ANTIPODAL distance
+        # (clamp hits 1.0 -> asin(1)), destination lands on the NORTH
+        # pole (clamp hits +1), and floor() collapses NaN to a valid
+        # long so cell_id returns a REAL cell — a false equi-join key.
+        # Contract: NaN in -> NaN out for doubles (matching the numpy
+        # kernels), NULL for the integral cell id.
+        import math
+        row = spark.sql("""
+            SELECT geo_haversine_m(double('NaN'), 0.0d, 1.0d, 1.0d) AS hv,
+                   geo_cell_id(double('NaN'), 0.0d, 9) AS cid,
+                   geo_cell_id(0.0d, double('NaN'), 9) AS cid2,
+                   geo_destination(double('NaN'), 0.0d, 90.0d, 1000.0d) AS dest
+        """).collect()[0]
+        assert math.isnan(row.hv)
+        assert row.cid is None and row.cid2 is None
+        assert math.isnan(row.dest["lat"]) and math.isnan(row.dest["lon"])
+        df = spark.createDataFrame(
+            [(float("nan"), 0.0, 1.0, 1.0)], "lat1 double, lon1 double, "
+            "lat2 double, lon2 double")
+        got = df.select(
+            haversine_m("lat1", "lon1", "lat2", "lon2").alias("hv"),
+            cell_id_col("lat1", "lon1", 9).alias("cid"),
+            cell_id_col("lat2", "lon1", 9).alias("cid_ok"),
+            destination_sphere("lat1", "lon1", F.lit(90.0),
+                               F.lit(1000.0)).alias("dest"),
+        ).collect()[0]
+        assert math.isnan(got.hv) and got.cid is None
+        assert got.cid_ok is not None
+        assert math.isnan(got.dest["lat"]) and math.isnan(got.dest["lon"])
+
     def test_null_longitude_destination_propagates(self, spark, sql_pts):
         # sp2 never involves lon, so a guard on sp2 alone would return
         # struct(lat=<computed>, lon=NULL) — a fabricated latitude
