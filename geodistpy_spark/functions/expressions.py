@@ -114,13 +114,15 @@ def cell_x(lon, res: int) -> Column:
     n = 1 << res
     lon = _c(lon)
     x = F.floor(F.pmod(lon + 180.0, F.lit(360.0)) / 360.0 * n)
-    # greatest/least skip nulls and floor() collapses NaN to a valid
-    # long, so an unguarded clamp would bin a null OR NaN longitude
-    # into a real column — a silent false equi-join key at scale.
-    # A cell id is integral, so both map to NULL (which drops out of
-    # every equi-join/groupBy, the safe behavior)
+    # greatest/least skip nulls, floor() collapses NaN to a valid
+    # long, and the clamp bins ±Infinity into an edge row/column, so
+    # an unguarded clamp turns a null, NaN, OR infinite coordinate
+    # into a real cell — a silent false equi-join key at scale. The
+    # clamp is for rounding jitter at the domain edge (lat 90.0000001
+    # belongs in the top row); non-finite garbage maps to NULL, which
+    # drops out of every equi-join/groupBy — the safe behavior
     return F.when(
-        x.isNotNull() & ~F.isnan(lon),
+        x.isNotNull() & ~F.isnan(lon) & (F.abs(lon) != float("inf")),
         F.least(F.greatest(x, F.lit(0)), F.lit(n - 1))).cast("long")
 
 
@@ -129,7 +131,7 @@ def cell_y(lat, res: int) -> Column:
     lat = _c(lat)
     y = F.floor((lat + 90.0) / 180.0 * n)
     return F.when(
-        y.isNotNull() & ~F.isnan(lat),
+        y.isNotNull() & ~F.isnan(lat) & (F.abs(lat) != float("inf")),
         F.least(F.greatest(y, F.lit(0)), F.lit(n - 1))).cast("long")
 
 

@@ -123,13 +123,15 @@ def _cell_id_body() -> str:
     n = "CAST(pow(2, res) AS BIGINT)"
     xraw = f"floor(pmod(lon + 180.0d, 360.0d) / 360.0d * {n})"
     yraw = f"floor((lat + 90.0d) / 180.0d * {n})"
-    # null/NaN guards mirror expressions.cell_x/cell_y: clamps skip
-    # nulls, and floor() collapses NaN to a valid long — either would
-    # silently become a real cell id (a false equi-join key); both
-    # map to NULL instead
-    x = (f"CASE WHEN {xraw} IS NOT NULL AND NOT isnan(lon) THEN "
+    # null/NaN/Infinity guards mirror expressions.cell_x/cell_y:
+    # clamps skip nulls, floor() collapses NaN to a valid long, and
+    # ±Infinity clamps into an edge row/column — each would silently
+    # become a real cell id (a false equi-join key); all map to NULL
+    x = (f"CASE WHEN {xraw} IS NOT NULL AND NOT isnan(lon) "
+         f"AND abs(lon) != double('Infinity') THEN "
          f"CAST(least(greatest({xraw}, 0), {n} - 1) AS BIGINT) END")
-    y = (f"CASE WHEN {yraw} IS NOT NULL AND NOT isnan(lat) THEN "
+    y = (f"CASE WHEN {yraw} IS NOT NULL AND NOT isnan(lat) "
+         f"AND abs(lat) != double('Infinity') THEN "
          f"CAST(least(greatest({yraw}, 0), {n} - 1) AS BIGINT) END")
     return f"({y}) * {n} + ({x})"
 

@@ -176,6 +176,30 @@ class TestSqlFunctions:
         assert got.cid_ok is not None
         assert math.isnan(got.dest["lat"]) and math.isnan(got.dest["lon"])
 
+    def test_infinite_coordinates_yield_null_cell(self, spark, sql_pts):
+        # the clamp exists for rounding jitter at the domain edge, but
+        # unguarded it bins lat=+Infinity into the TOP row and
+        # lon=-Infinity (via pmod -> NaN -> floor -> 0) into column 0
+        # — real equi-join keys for garbage input. Distances already
+        # collapse ±inf to NaN through the trig; the integral cell id
+        # must yield NULL on both API levels.
+        import math
+        row = spark.sql("""
+            SELECT geo_cell_id(double('Infinity'), 0.0d, 8) AS cid_lat,
+                   geo_cell_id(10.0d, double('-Infinity'), 8) AS cid_lon,
+                   geo_haversine_m(double('Infinity'), 0.0d, 10.0d, 10.0d) AS hv
+        """).collect()[0]
+        assert row.cid_lat is None and row.cid_lon is None
+        assert math.isnan(row.hv)
+        got = spark.createDataFrame(
+            [(float("inf"), float("-inf"), 10.0)],
+            "plat double, nlon double, ok double").select(
+            cell_id_col("plat", "ok", 8).alias("cid_lat"),
+            cell_id_col("ok", "nlon", 8).alias("cid_lon"),
+            cell_id_col("ok", "ok", 8).alias("cid_ok")).collect()[0]
+        assert got.cid_lat is None and got.cid_lon is None
+        assert got.cid_ok is not None
+
     def test_null_longitude_destination_propagates(self, spark, sql_pts):
         # sp2 never involves lon, so a guard on sp2 alone would return
         # struct(lat=<computed>, lon=NULL) — a fabricated latitude
