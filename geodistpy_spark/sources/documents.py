@@ -34,6 +34,14 @@ def explode_spans(docs: DataFrame) -> DataFrame:
     """One row per span, position-preserving.
 
     Output: (doc_id, span_idx, kind, text, media_ref, offset).
+
+    ``posexplode`` semantics: documents whose ``spans`` array is empty
+    or NULL produce NO rows, so they do not survive an
+    explode -> :func:`reassemble_spans` roundtrip (probed: spanful
+    docs roundtrip fingerprint-exact, including duplicate offsets and
+    null span fields). A pipeline that must retain empty documents
+    should split them off (``F.size("spans") > 0``) before exploding
+    and union them back after reassembly.
     """
     return docs.select(
         "doc_id",

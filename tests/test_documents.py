@@ -282,3 +282,21 @@ class TestVerifyRoundtrip:
         # empty spans cannot survive explode->reassemble: flagged
         empty = spark.createDataFrame([("e", [])], schema=docs.schema)
         assert verify_roundtrip(empty) == 1
+
+    def test_adversarial_spans_roundtrip_exact(self, spark):
+        # duplicate offsets and null span FIELDS must roundtrip
+        # fingerprint-exact (array_sort keys on span_idx, the struct's
+        # first field, so payload nulls/collisions cannot reorder)
+        schema = ("doc_id long, spans array<struct<kind:string,"
+                  "text:string,media_ref:string,offset:int>>")
+        docs = spark.createDataFrame([
+            (1, [("text", "a", None, 0), ("geo", None, "g:1", 1),
+                 ("text", "b", None, 2)]),
+            (4, [("text", None, None, 0), ("text", None, None, 0)]),
+        ], schema)
+        out = reassemble_spans(explode_spans(docs))
+        fp0 = {r.doc_id: r.span_fp
+               for r in span_fingerprint(docs).collect()}
+        fp1 = {r.doc_id: r.span_fp
+               for r in span_fingerprint(out).collect()}
+        assert fp0 == fp1
