@@ -43,6 +43,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
         F.col(on),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__tag"),
+        # duplicate right rows at the same (key, ts) tie on (__ts,
+        # __tag); without a content tie-break the carried row would
+        # depend on partition merge order — nondeterministic across
+        # runs, which breaks byte-identical checkpoint resume. The
+        # payload hash is run-independent: ties resolve to the
+        # max-hash row (identical duplicates carry identical payload)
+        F.xxhash64(F.col(right_ts),
+                   *[F.col(c) for c in right_cols]).alias("__tb"),
         F.col(right_ts).alias(carried[0]),
         *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}")
@@ -52,12 +60,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
         F.col(on),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__tag"),
+        F.lit(0).cast("long").alias("__tb"),
         *[F.lit(None).cast(r.schema[c].dataType).alias(c) for c in carried],
         *[F.col(c).alias(f"__l_{c}") for c in left.columns],
     )
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("__ts").asc(), F.col("__tag").asc())
+        .orderBy(F.col("__ts").asc(), F.col("__tag").asc(),
+                 F.col("__tb").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = r.unionByName(l)

@@ -502,6 +502,34 @@ class TestAsofJoin:
             .sort_values("eid").reset_index(drop=True)
         assert np.allclose(got.state_asof.values, exp.state.values, equal_nan=True)
 
+    def test_duplicate_right_ts_deterministic(self, spark):
+        # two right rows at the same (key, ts) tie on the window sort
+        # key; the content-hash tie-break must make the carried row
+        # independent of input order and partitioning (checkpoint
+        # resume requires byte-identical reruns)
+        import itertools
+
+        from geodistpy_spark.operators import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 100, "e1"), (2, 50, "e2")],
+            "user_id long, ts long, ev string")
+        rows = [(1, 100, 10.0), (1, 100, 11.0), (1, 90, 9.0), (2, 60, 5.0)]
+        results = set()
+        for perm in itertools.permutations(rows):
+            right = spark.createDataFrame(
+                list(perm), "user_id long, ts long, px double") \
+                .repartition(len(perm) % 3 + 1)
+            got = tuple(sorted(
+                (x.user_id, x.ev, x.px_asof)
+                for x in asof_join(left, right).collect()))
+            results.add(got)
+        assert len(results) == 1
+        (only,) = results
+        # the exact-ts tie attaches (backward-inclusive), one of the
+        # two tied payloads, chosen stably; no prior row -> null
+        assert only[0][2] in (10.0, 11.0) and only[1][2] is None
+
     def test_tolerance_nulls_stale_matches(self, spark):
         import datetime as dt
         t0 = dt.datetime(2026, 1, 1)
