@@ -147,6 +147,13 @@ def cell_id_col(lat, lon, res: int) -> Column:
 
 def parent_cell_col(cell, res: int, parent_res: int) -> Column:
     """Ancestor cell id at a coarser resolution (integer math)."""
+    if parent_res > res:
+        # JVM shiftright masks a negative count (& 63), so an inverted
+        # res pair would silently return garbage instead of raising
+        # like grid.parent_cell does
+        raise ValueError(
+            f"parent_res must be <= res, got res={res} "
+            f"parent_res={parent_res}")
     n = 1 << res
     pn = 1 << parent_res
     shift = res - parent_res

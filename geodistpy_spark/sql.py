@@ -141,8 +141,13 @@ def _parent_cell_body() -> str:
     pn = "CAST(pow(2, parent_res) AS BIGINT)"
     y = f"CAST(floor(cell / {n}) AS BIGINT)"
     x = f"CAST(cell % {n} AS BIGINT)"
-    return (f"shiftright({y}, res - parent_res) * {pn}"
-            f" + shiftright({x}, res - parent_res)")
+    # shiftright masks a negative count (& 63), so an inverted res
+    # pair would silently return garbage; res args are runtime values
+    # here (unlike the Python builder, which raises at build time), so
+    # the invalid case maps to NULL
+    return (f"CASE WHEN parent_res <= res THEN "
+            f"shiftright({y}, res - parent_res) * {pn}"
+            f" + shiftright({x}, res - parent_res) END")
 
 
 # aliases and factors mirror constants.UNIT_FACTORS exactly ('m' too);

@@ -200,6 +200,23 @@ class TestSqlFunctions:
         assert got.cid_lat is None and got.cid_lon is None
         assert got.cid_ok is not None
 
+    def test_parent_res_finer_than_res_rejected(self, spark, sql_pts):
+        # JVM shiftright masks negative counts (& 63), so an inverted
+        # res pair silently returned garbage (0) instead of failing.
+        # Builder (build-time ints): raises like grid.parent_cell; SQL
+        # UDF (runtime values): NULL.
+        with pytest.raises(ValueError, match="parent_res must be <= res"):
+            parent_cell_col(F.lit(100), 4, 6)
+        row = spark.sql(
+            "SELECT geo_parent_cell(100, 4, 6) AS bad, "
+            "       geo_parent_cell(100, 4, 4) AS self_, "
+            "       geo_parent_cell(100, 4, 2) AS up"
+        ).collect()[0]
+        assert row.bad is None
+        assert row.self_ == 100
+        from geodistpy_spark.grid import parent_cell
+        assert row.up == parent_cell(100, 4, 2)
+
     def test_null_longitude_destination_propagates(self, spark, sql_pts):
         # sp2 never involves lon, so a guard on sp2 alone would return
         # struct(lat=<computed>, lon=NULL) — a fabricated latitude
