@@ -366,6 +366,24 @@ def main():
             "waited_for_quiet_s": waited,
         },
     }
+    # attach the best steal-gated recording of this suite so a run
+    # that lands in a co-tenant burst (this shared VM swings 5x; bursts
+    # of 25k+ steal ticks observed) still carries the clean reference
+    # number WITH the telemetry that qualifies it — the live `host`
+    # key above tells the reader which situation this run was in
+    best_path = os.path.join(_REPO, "BENCH", "headline_r5_final.json")
+    if os.path.exists(best_path):
+        with open(best_path) as f:
+            best = json.load(f)
+        if best.get("sf") == out["sf"]:
+            out["best_recorded"] = {
+                "value": best["value"],
+                "queries": best["queries"],
+                "docs_per_sec": best["docs_per_sec"],
+                "host": best.get("host"),
+                "note": "best steal-gated recording of this suite on "
+                        "this host (see BENCH/headline_r5_final.json)",
+            }
     scaling_path = os.path.join(_REPO, "BENCH", "scaling.json")
     if os.path.exists(scaling_path):
         with open(scaling_path) as f:
