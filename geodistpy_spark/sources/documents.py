@@ -342,46 +342,57 @@ def verify_roundtrip(docs: DataFrame) -> int:
     Unlike :func:`verify_span_sequence` (two independent relations,
     hence two source scans), this computes the original fingerprint in
     the projection of the SAME scan that feeds the explode, carries it
-    through the reassembly groupBy, and rebuilds the span array +
-    fingerprint inside that one aggregation — one scan, one shuffle,
-    no join.
+    through the reassembly groupBy, and rebuilds the ordered span
+    sequence + fingerprint inside that one aggregation — one scan, one
+    shuffle, no join.
+
+    What crosses the shuffle per span is (span_idx, span_str), where
+    span_str is the exact '|,|'-joined (kind, text, media_ref) string
+    the fingerprint hashes — not the 4-field struct plus offset the r5
+    version carried (guide §2.3: shuffle only the bytes the decision
+    needs; offset never participates in the fingerprint, and the three
+    field strings are needed only concatenated). The reassembly is the
+    same collect_list + array_sort-by-position machinery, applied to
+    the fingerprint-relevant sequence.
     """
     # posexplode_OUTER: a doc with empty/null spans keeps one null row,
     # whose rebuilt fingerprint cannot match — flagged as a roundtrip
     # loss (a plain explode would silently skip such docs; the real
-    # explode->reassemble pipeline does lose them)
+    # explode->reassemble pipeline does lose them). A real span's
+    # string is never null (concat_ws with a non-null separator), so a
+    # null __span_str identifies exactly that outer-null row; the
+    # rebuild coalesces it to a '|X|' sentinel, which can never equal
+    # the original fingerprint of an empty sequence (md5 of "" —
+    # concat_ws treats a null array as empty).
+    span_strs = F.transform(
+        "spans",
+        lambda s: F.concat_ws(
+            "|,|",
+            F.coalesce(s["kind"], F.lit("|0|")),
+            F.coalesce(s["text"], F.lit("|0|")),
+            F.coalesce(s["media_ref"], F.lit("|0|")),
+        ),
+    )
     exploded = docs.select(
         "doc_id",
-        _span_fp_expr("spans").alias("__orig_fp"),
-        F.posexplode_outer("spans").alias("span_idx", "span"),
+        F.md5(F.concat_ws("|#|", span_strs)).alias("__orig_fp"),
+        F.posexplode_outer(span_strs).alias("span_idx", "__span_str"),
     )
     rebuilt = (
         exploded.groupBy("doc_id")
         .agg(
             F.first("__orig_fp").alias("__orig_fp"),
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            "span_idx",
-                            F.col("span.kind").alias("kind"),
-                            F.col("span.text").alias("text"),
-                            F.col("span.media_ref").alias("media_ref"),
-                            F.col("span.offset").alias("offset"),
-                        )
-                    )
-                ),
-                lambda s: F.struct(
-                    s["kind"].alias("kind"),
-                    s["text"].alias("text"),
-                    s["media_ref"].alias("media_ref"),
-                    s["offset"].alias("offset"),
-                ),
-            ).alias("spans"),
+            F.array_sort(
+                F.collect_list(F.struct("span_idx", "__span_str"))
+            ).alias("__seq"),
         )
     )
     return rebuilt.filter(
-        _span_fp_expr("spans") != F.col("__orig_fp")
+        F.md5(F.concat_ws(
+            "|#|",
+            F.transform("__seq",
+                        lambda s: F.coalesce(s["__span_str"], F.lit("|X|")))))
+        != F.col("__orig_fp")
     ).count()
 
 

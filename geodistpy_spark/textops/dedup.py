@@ -198,21 +198,26 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
       measured q6 limiter: ~85 of 132 core-seconds at 800k docs were
       these three corpus-sized exchanges).
     - ``small_pairs=True`` (the LSH-output regime: candidate docs ≪
-      corpus): broadcast-semi-join the shingle relation down to docs
-      that appear in any pair, collect each survivor's shingle set
-      into ONE array row, and verify with codegen'd
-      ``array_intersect`` — the only corpus-sized work is a map-side
-      semi-filter scan; nothing corpus-sized ever shuffles. Requires
-      the per-doc-distinct shingle contract that :func:`shingles`
-      guarantees (``array_intersect`` dedupes, so duplicated
-      (doc, shingle) rows would change counts vs the relational form),
-      and DISTINCT pairs (the pivot groups by (id_1, id_2), so a
-      duplicated input pair collapses to one output row where the
-      relational form would emit it twice — LSH candidates are
-      distinct by construction). The caller must ensure the
-      distinct-id set of ``pairs`` is broadcastable
-      (:func:`near_duplicates_minhash` gates on a pair count it has
-      already materialized).
+      corpus): broadcast the exploded pair-membership relation (two
+      (id_1, id_2, doc) rows per pair, three longs each) onto the
+      shingle relation — ONE broadcast hash join both filters the
+      corpus-sized shingle scan to candidate docs and attaches the
+      pair — then two long-only HashAggregates: per (pair, shingle)
+      presence flags, then per pair counts (|A| = Σ side-1 present,
+      |A ∩ B| = Σ both present). Nothing corpus-sized ever shuffles,
+      and nothing sorts: the r5 shape (semi-filter + collect_list +
+      first()-pivot) forced an ObjectHashAggregate plus a
+      SortAggregate with two Sorts — arrays through the shuffle and
+      three broadcast builds where one suffices. Requires the
+      per-doc-distinct shingle contract that :func:`shingles`
+      guarantees (a duplicated (doc, shingle) row would inflate the
+      presence counts vs the relational form), and DISTINCT pairs
+      (the final groupBy collapses a duplicated input pair to one
+      output row where the relational form would emit it twice — LSH
+      candidates are distinct by construction). The caller must
+      ensure ``pairs`` is broadcastable (:func:`near_duplicates_minhash`
+      gates on a pair count it has already materialized; at the gate,
+      2 x small_pairs_max rows x 3 longs is the broadcast relation).
     """
     if _shingles is not None:
         sh = _shingles
@@ -220,51 +225,31 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
         sh = shingles(df.select(id_col, text_col), text_col, k).cache()
         sh.count()  # eager materialization (see near_duplicates_minhash)
     if small_pairs:
-        cand = (
-            pairs.select(F.col("id_1").alias(id_col))
-            .union(pairs.select(F.col("id_2").alias(id_col)))
-            .distinct()
-        )
-        doc_sh = (
-            sh.join(F.broadcast(cand), on=id_col, how="left_semi")
-            .groupBy(id_col)
-            .agg(F.collect_list("shingle").alias("__shs"))
-        )
-        # consume doc_sh exactly ONCE: joining it twice (id_1 side,
-        # id_2 side) defeats exchange reuse in practice and re-derives
-        # the semi-filtered corpus scan per side — instead explode each
-        # pair into its two (pair, side, doc) rows, join doc_sh once,
-        # and pivot the two sides back together in one small shuffle
         sides = pairs.select(
             "id_1", "id_2",
-            F.explode(F.array(
-                F.struct(F.col("id_1").alias(id_col), F.lit(1).alias("__side")),
-                F.struct(F.col("id_2").alias(id_col), F.lit(2).alias("__side")),
-            )).alias("__s"),
-        ).select("id_1", "id_2", F.col(f"__s.{id_col}").alias(id_col),
-                 F.col("__s.__side").alias("__side"))
-        paired = (
-            F.broadcast(sides).join(doc_sh, on=id_col)
-            .groupBy("id_1", "id_2")
-            .agg(
-                F.first(F.when(F.col("__side") == 1, F.col("__shs")),
-                        ignorenulls=True).alias("__shs1"),
-                F.first(F.when(F.col("__side") == 2, F.col("__shs")),
-                        ignorenulls=True).alias("__shs2"),
-            )
-            # a pair whose doc has no shingles (< k words) never joined
-            # on that side: drop it, mirroring the relational strategy's
-            # inner join against the sizes relation
-            .filter(F.col("__shs1").isNotNull() & F.col("__shs2").isNotNull())
+            F.explode(F.array("id_1", "id_2")).alias(id_col),
+        )
+        h1 = F.max(F.when(F.col(id_col) == F.col("id_1"), 1)
+                   .otherwise(0)).alias("__h1")
+        h2 = F.max(F.when(F.col(id_col) == F.col("id_2"), 1)
+                   .otherwise(0)).alias("__h2")
+        per_shingle = (
+            sh.join(F.broadcast(sides), on=id_col)
+            .groupBy("id_1", "id_2", "shingle")
+            .agg(h1, h2)
         )
         return (
-            paired
-            # cast: F.size is int32, the relational count() is int64 —
-            # the two strategies must be schema-identical
-            .withColumn("n_inter",
-                        F.size(F.array_intersect("__shs1", "__shs2")).cast("long"))
-            .withColumn("n_1", F.size("__shs1").cast("long"))
-            .withColumn("n_2", F.size("__shs2").cast("long"))
+            per_shingle.groupBy("id_1", "id_2")
+            .agg(
+                F.sum(F.col("__h1") * F.col("__h2")).alias("n_inter"),
+                F.sum("__h1").alias("n_1"),
+                F.sum("__h2").alias("n_2"),
+            )
+            # a pair whose doc has no shingles (< k words) has zero
+            # presence rows on that side: drop it, mirroring the
+            # relational strategy's inner join against the sizes
+            # relation
+            .filter((F.col("n_1") > 0) & (F.col("n_2") > 0))
             .withColumn(
                 "jaccard",
                 F.col("n_inter") / (F.col("n_1") + F.col("n_2") - F.col("n_inter")),
@@ -305,12 +290,15 @@ def near_duplicates_minhash(df: DataFrame, id_col: str = "doc_id",
     NOTHING corpus-sized is ever cached or shuffled on the production
     path: the candidate stage streams the shingle explode once into
     the signature agg, and — when the materialized candidate count is
-    at most ``small_pairs_max`` (distinct candidate ids then fit a
-    cheap broadcast: 2M pairs -> <= 4M int64 ids, ~32 MB) — the verify
-    re-derives shingles only for the candidate docs (broadcast
-    semi-filter on the RAW docs before tokenizing, measured 6-15% of
-    the corpus) and runs :func:`ngram_jaccard`'s ``small_pairs``
-    broadcast/array strategy. Measured on the 800k-doc sweep corpus
+    at most ``small_pairs_max`` (candidate ids then fit a cheap
+    broadcast: 2M pairs -> 4M int64 ids, ~32 MB; the verify's own
+    pair-membership broadcast is 2 rows x 3 longs per pair, ~96 MB
+    framed at the gate — size the gate down on executors with tight
+    broadcast budgets) — the verify re-derives shingles only for the
+    candidate docs (broadcast semi-filter on the RAW docs before
+    tokenizing, measured 6-15% of the corpus) and runs
+    :func:`ngram_jaccard`'s ``small_pairs`` broadcast/count strategy
+    (one broadcast join + two long-only HashAggregates, no sorts). Measured on the 800k-doc sweep corpus
     vs the r4 cached-relational pipeline: 19 -> ~13 s at local[8],
     44 -> ~33 s at local[2], and no multi-GB block-manager footprint
     (at 10^12 docs persisting the exploded relation would spill —
@@ -365,11 +353,13 @@ def near_duplicates_minhash(df: DataFrame, id_col: str = "doc_id",
         # 6-15% of the corpus): semi-filter the raw docs by broadcast
         # before tokenizing, so the second explode pays only for docs
         # under verification, and hand ngram_jaccard that narrow
-        # relation
+        # relation. No .distinct() on the id list: left_semi dedupes
+        # inherently, and the distinct added one more exchange + AQE
+        # wave per call for nothing (build side stays 2 x n_pairs
+        # int64 ids — ~32 MB at the 2M gate)
         cand = (
             pairs.select(F.col("id_1").alias(id_col))
             .union(pairs.select(F.col("id_2").alias(id_col)))
-            .distinct()
         )
         cand_docs = df.select(id_col, text_col).join(
             F.broadcast(cand), on=id_col, how="left_semi")
