@@ -57,15 +57,24 @@ def cell_id(lat: float, lon: float, res: int) -> int:
 
 
 def cell_id_np(lat, lon, res: int) -> np.ndarray:
-    """Vectorized cell ids (numpy) — same math as the Column expression."""
+    """Vectorized cell ids (numpy) — same math as the Column expression,
+    including its non-finite contract: NaN/±Inf coordinates yield -1
+    (the numpy stand-in for the Column's NULL — np.clip(NaN) would
+    otherwise floor/clip into a garbage-but-valid cell id, making the
+    two API surfaces disagree on the same bad input)."""
     n = nx(res)
     lat = np.asarray(lat, dtype=np.float64)
     lon = np.asarray(lon, dtype=np.float64)
-    x = np.floor(np.mod(lon + 180.0, 360.0) / 360.0 * n)
-    x = np.clip(x, 0, n - 1).astype(np.int64)
-    y = np.floor((lat + 90.0) / 180.0 * n)
-    y = np.clip(y, 0, n - 1).astype(np.int64)
-    return y * n + x
+    with np.errstate(invalid="ignore"):
+        x = np.floor(np.mod(lon + 180.0, 360.0) / 360.0 * n)
+        x = np.clip(x, 0, n - 1).astype(np.int64)
+        y = np.floor((lat + 90.0) / 180.0 * n)
+        y = np.clip(y, 0, n - 1).astype(np.int64)
+    cells = y * n + x
+    bad = ~(np.isfinite(lat) & np.isfinite(lon))
+    if bad.any():
+        cells = np.where(bad, np.int64(-1), cells)
+    return cells
 
 
 def parent_cell(cell: int, res: int, parent_res: int) -> int:

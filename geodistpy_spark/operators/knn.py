@@ -209,8 +209,8 @@ def candidate_histogram(candidates: DataFrame, c_lat: str = "lat",
     return counts, int(counts.sum())
 
 
-def _radius_estimator_udf(counts: np.ndarray, k: int, r_cap_m: float):
-    """Pandas UDF: (lat, lon) -> density-derived search radius (meters).
+def _radius_estimator_np(counts: np.ndarray, k: int, r_cap_m: float):
+    """Numpy closure (la, lo) -> density-derived search radius (meters).
 
     Expands square blocks on an integral image until >= 2k candidates are
     inside, converts the local density to the radius of a disk expected
@@ -224,10 +224,7 @@ def _radius_estimator_udf(counts: np.ndarray, k: int, r_cap_m: float):
     cell_h_m = 180.0 / n * 110_600.0
     target = 2 * k
 
-    @F.pandas_udf(T.DoubleType())
-    def _r_est(lat: pd.Series, lon: pd.Series) -> pd.Series:
-        la = lat.to_numpy(dtype=np.float64)
-        lo = lon.to_numpy(dtype=np.float64)
+    def _est(la: np.ndarray, lo: np.ndarray) -> np.ndarray:
         x = np.clip((np.mod(lo + 180.0, 360.0) / 360.0 * n).astype(np.int64), 0, n - 1)
         y = np.clip(((la + 90.0) / 180.0 * n).astype(np.int64), 0, n - 1)
         cnt = np.zeros(len(la), dtype=np.int64)
@@ -247,7 +244,19 @@ def _radius_estimator_udf(counts: np.ndarray, k: int, r_cap_m: float):
         with np.errstate(divide="ignore", invalid="ignore"):
             r = 1.5 * np.sqrt(target * area / (np.pi * np.maximum(cnt, 1)))
         r = np.where(cnt == 0, r_cap_m, r)
-        return pd.Series(np.clip(r, 1_000.0, r_cap_m))
+        return np.clip(r, 1_000.0, r_cap_m)
+
+    return _est
+
+
+def _radius_estimator_udf(counts: np.ndarray, k: int, r_cap_m: float):
+    """Pandas UDF wrapper over :func:`_radius_estimator_np`."""
+    est = _radius_estimator_np(counts, k, r_cap_m)
+
+    @F.pandas_udf(T.DoubleType())
+    def _r_est(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        return pd.Series(est(lat.to_numpy(dtype=np.float64),
+                             lon.to_numpy(dtype=np.float64)))
 
     return _r_est
 
@@ -279,13 +288,48 @@ def _cover_cells_var_udf(res: int, max_cells: int, margin: float = 1.002):
     disk in the same budget). Rows that fit NO tier get an EMPTY cover —
     the query then finds no in-disk candidates, stays open, and phase 3
     answers it exactly; cost stays bounded, correctness unconditional."""
-    tiers = _tiers(res)
+    cover = _cover_cells_np(res, max_cells, margin)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _cover(lat: pd.Series, lon: pd.Series, radius_m: pd.Series) -> pd.Series:
+        return pd.Series(cover(lat.to_numpy(dtype=np.float64),
+                               lon.to_numpy(dtype=np.float64),
+                               radius_m.to_numpy(dtype=np.float64)))
+
+    return _cover
+
+
+def _seed_cover_udf(counts: np.ndarray, k: int, r_cap_m: float,
+                    res: int, max_cells: int):
+    """Pandas UDF: (lat, lon) -> struct<r double, cells array<long>> —
+    the density-derived phase-1 radius AND its tier-encoded cover in
+    ONE Python stage (the r5 shape ran the estimator UDF and the cover
+    UDF as two ArrowEvalPython operators: two JVM->Python round trips
+    and two operator builds per call for 200-row query tables)."""
+    est = _radius_estimator_np(counts, k, r_cap_m)
+    cover = _cover_cells_np(res, max_cells)
+    schema = T.StructType([
+        T.StructField("r", T.DoubleType()),
+        T.StructField("cells", T.ArrayType(T.LongType())),
+    ])
+
+    @F.pandas_udf(schema)
+    def _seed(lat: pd.Series, lon: pd.Series) -> pd.DataFrame:
         la = lat.to_numpy(dtype=np.float64)
         lo = lon.to_numpy(dtype=np.float64)
-        sigma = np.minimum(radius_m.to_numpy(dtype=np.float64) * margin
+        r = est(la, lo)
+        return pd.DataFrame({"r": r, "cells": cover(la, lo, r)})
+
+    return _seed
+
+
+def _cover_cells_np(res: int, max_cells: int, margin: float = 1.002):
+    """Numpy closure (la, lo, radius_m) -> list of tier-encoded cover
+    cell arrays (see :func:`_cover_cells_var_udf` for semantics)."""
+    tiers = _tiers(res)
+
+    def _cover(la: np.ndarray, lo: np.ndarray, radius_m: np.ndarray) -> list:
+        sigma = np.minimum(radius_m * margin
                            / grid.MIN_CURVATURE_RADIUS_M, np.pi)
         sigma_deg = np.degrees(sigma)
         pole = (np.abs(la) + sigma_deg) >= 90.0
@@ -326,7 +370,7 @@ def _cover_cells_var_udf(res: int, max_cells: int, margin: float = 1.002):
                 cells = (ys[:, None] * n + xs[None, :]).ravel() * 32 + t
                 break
             out.append(cells)
-        return pd.Series(out)
+        return out
 
     return _cover
 
@@ -340,10 +384,16 @@ def _topk_in_radius(qr: DataFrame, cand: DataFrame, k: int, res: int,
 
     ``qr`` carries (q_id, __qlat, __qlon, __r); output adds ``out``
     (meters), __rn (rank) and __cnt (in-disk candidates, capped at
-    window evaluation) — a query is CLOSED iff __cnt >= k.
+    window evaluation) — a query is CLOSED iff __cnt >= k. A ``__cells``
+    column, when present, is a precomputed tier-encoded cover (the
+    fused phase-1 seed UDF emits it next to __r) and skips the cover
+    UDF here.
     """
-    cov = _cover_cells_var_udf(res, max_cover_cells)
-    q = qr.withColumn("__cell", F.explode(cov("__qlat", "__qlon", "__r")))
+    if "__cells" in qr.columns:
+        q = qr.withColumn("__cell", F.explode("__cells")).drop("__cells")
+    else:
+        cov = _cover_cells_var_udf(res, max_cover_cells)
+        q = qr.withColumn("__cell", F.explode(cov("__qlat", "__qlon", "__r")))
 
     if salt and salt > 1:
         q = q.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
@@ -458,8 +508,14 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
     if r0_m is not None:
         qr = qr.withColumn("__r", F.lit(min(float(r0_m), r_cap)))
     else:
-        r_est = _radius_estimator_udf(counts, k, r_cap)
-        qr = qr.withColumn("__r", r_est("__qlat", "__qlon"))
+        # fused seed: radius estimate + phase-1 cover in ONE Python
+        # stage (two ArrowEvalPython operators before); _topk_in_radius
+        # picks the __cells column up and skips its own cover UDF
+        seed = _seed_cover_udf(counts, k, r_cap, res, max_cover_cells)
+        qr = qr.withColumn("__rc", seed("__qlat", "__qlon")).select(
+            q_id, "__qlat", "__qlon",
+            F.col("__rc.r").alias("__r"),
+            F.col("__rc.cells").alias("__cells"))
     # each phase's output feeds BOTH the result union and the next
     # phase's open-set; the nondeterministic refine UDF blocks Catalyst
     # subtree dedup, so cache the (small: O(queries x k)) intermediates
@@ -487,7 +543,8 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
     # exchanges + sorts, i.e. two more sequential AQE waves per phase).
     p1s = p1.filter(F.col("__rn") == 1).select(q_id, F.col("__cnt").alias("__c1"))
     qr2 = (
-        qr.join(F.broadcast(p1s), on=q_id, how="left")
+        qr.drop("__cells")  # phase-1 cover is stale once __r grows
+        .join(F.broadcast(p1s), on=q_id, how="left")
         .filter(F.coalesce(F.col("__c1"), F.lit(0)) < k).drop("__c1")
         .withColumn("__r", F.least(F.col("__r") * growth, F.lit(r_cap)))
     ).cache()  # consumed by BOTH phase 2 and the phase-3 open-set join

@@ -48,7 +48,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
         # depend on partition merge order — nondeterministic across
         # runs, which breaks byte-identical checkpoint resume. The
         # payload hash is run-independent: ties resolve to the
-        # max-hash row (identical duplicates carry identical payload)
+        # max-hash row (identical duplicates carry identical payload).
+        # Known limit: the carry below is per-column last(ignorenulls),
+        # so two tied rows with COMPLEMENTARY null payload fields still
+        # blend into an output row matching neither input (now
+        # deterministically); "resolves to the max-hash row" holds
+        # column-by-column — exactly when the max-hash row has no null
+        # payload fields does it hold for the whole row
         F.xxhash64(F.col(right_ts),
                    *[F.col(c) for c in right_cols]).alias("__tb"),
         F.col(right_ts).alias(carried[0]),

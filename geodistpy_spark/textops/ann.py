@@ -82,9 +82,12 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int,
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     dim = Q.shape[1]
 
+    # the per-batch partials emit the REAL query id (from the closure's
+    # qids list) instead of a __qidx that needed a broadcast qmap join
+    # to resolve — one less broadcast build + join wave per call
     out_schema = T.StructType([
         T.StructField(id_col, emb.schema[id_col].dataType),
-        T.StructField("__qidx", T.IntegerType()),
+        T.StructField(q_id, queries.schema[q_id].dataType),
         T.StructField("cosine", T.DoubleType()),
     ])
     nq = len(qids)
@@ -117,7 +120,7 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int,
             s64 = exact(cand, qi)
             order = np.lexsort((ids[cand], -s64))[:k]
             frames.append(pd.DataFrame(
-                {id_col: ids[cand][order], "__qidx": qi,
+                {id_col: ids[cand][order], q_id: qids[qi],
                  "cosine": s64[order]}))
         return frames
 
@@ -180,15 +183,10 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int,
         if src.rdd.getNumPartitions() < min_parallelism:
             src = src.repartition(min_parallelism)
     partial = src.mapInPandas(_score, out_schema)
-    q_id_type = queries.schema[q_id].dataType.simpleString()
-    qmap = spark.createDataFrame(
-        [(i, qid) for i, qid in enumerate(qids)],
-        f"__qidx int, {q_id} {q_id_type}")
     w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(),
                                          F.col(id_col).asc())
     return (
-        partial.join(F.broadcast(qmap), on="__qidx")
-        .withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(q_id, id_col, "cosine", "rank")
     )

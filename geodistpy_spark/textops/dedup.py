@@ -589,14 +589,21 @@ def near_dup_groups(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", k: int = 3,
                     threshold: float = 0.7, max_iter: int = 25,
                     algorithm: str = "minlabel",
-                    hash_fn: str = "xxhash64") -> DataFrame:
+                    hash_fn: str = "xxhash64",
+                    caches: list | None = None) -> DataFrame:
     """Text near-dup components: :func:`connected_components` over the
     transitive closure of :func:`near_duplicates_minhash` pairs at
     ``threshold``. (For embeddings, feed
     :func:`embedding_near_pairs` output into connected_components the
-    same way.)"""
+    same way.)
+
+    ``caches`` receives the minhash stage's cached intermediates so a
+    caller that has fully materialized the result can ``unpersist()``
+    them; without it they stay pinned for the session (the result may
+    lazily recompute label partitions through them, so this function
+    cannot safely release them itself)."""
     pairs = near_duplicates_minhash(df, id_col, text_col, k, threshold,
-                                    hash_fn=hash_fn)
+                                    hash_fn=hash_fn, caches=caches)
     return connected_components(df, pairs, id_col, max_iter,
                                 algorithm=algorithm)
 
@@ -604,7 +611,8 @@ def near_dup_groups(df: DataFrame, id_col: str = "doc_id",
 def dedup_near(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                k: int = 3, threshold: float = 0.7,
                keep: str = "min_id", score_col: str | None = None,
-               hash_fn: str = "xxhash64") -> DataFrame:
+               hash_fn: str = "xxhash64",
+               caches: list | None = None) -> DataFrame:
     """Near-duplicate dedup: keep ONE doc per connected component of the
     near-dup graph, all columns preserved.
 
@@ -616,7 +624,7 @@ def dedup_near(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     follows cluster sizes, not corpus size.
     """
     groups = near_dup_groups(df, id_col, text_col, k, threshold,
-                             hash_fn=hash_fn)
+                             hash_fn=hash_fn, caches=caches)
     if keep == "min_id":
         keep_ids = groups.filter(F.col(id_col) == F.col("group_id")).select(id_col)
     elif keep == "best":

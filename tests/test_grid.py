@@ -345,3 +345,18 @@ class TestCompactCells:
             assert len(comp) <= len(cells)
         # full grid collapses to the single res-0 cell
         assert compact_cells(range(total), res) == [(0, 0)]
+
+
+class TestNonFiniteCellIds:
+    def test_cell_id_np_nonfinite_is_minus_one(self):
+        import numpy as np
+
+        import geodistpy_spark.grid as G
+
+        la = np.array([10.0, float("nan"), float("inf"), -float("inf"), 20.0])
+        lo = np.array([20.0, 5.0, 5.0, float("nan"), float("nan")])
+        out = G.cell_id_np(la, lo, 6)
+        # finite rows keep the normal grid math; any non-finite
+        # coordinate yields -1, mirroring the Column expression's NULL
+        assert out[0] == G.cell_id(10.0, 20.0, 6)
+        assert list(out[1:]) == [-1, -1, -1, -1]

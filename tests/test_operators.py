@@ -880,3 +880,19 @@ class TestPolygons:
         for p in picks:
             assert got[int(p)] == p
         assert np.isnan(got[-1])
+
+
+class TestCandidateHistogramStrategies:
+    def test_map_partials_match_groupby_fallback(self, places):
+        # the single-stage mapInArrow partial-count path and the
+        # map-side-combined groupBy fallback must produce identical
+        # histograms (knn_join's radius seeding reads either)
+        import numpy as np
+
+        from geodistpy_spark.operators import candidate_histogram
+
+        fast_counts, fast_total = candidate_histogram(places)
+        slow_counts, slow_total = candidate_histogram(
+            places, max_map_partitions=0)
+        assert fast_total == slow_total
+        assert np.array_equal(fast_counts, slow_counts)
