@@ -59,6 +59,51 @@ def shingles(df: DataFrame, text_col: str = "text", k: int = 3,
     )
 
 
+def shingle_hashes(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", k: int = 3,
+                   out: str = "shingle") -> DataFrame:
+    """Word k-gram shingle IDS as xxhash64 longs, one row per
+    (doc, shingle position) — the whole-stage-codegen twin of
+    :func:`shingles` for consumers that only need shingle EQUALITY and
+    hash uniformity (MinHash signatures, the flag-based Jaccard
+    verify), never the text.
+
+    :func:`shingles` builds every k-gram STRING through interpreted
+    higher-order functions (transform + slice + concat_ws per element,
+    then array_distinct on strings) — measured 7.8 s of the 8.5 s
+    signature derivation at 800k docs / local[8]. This path is pure
+    codegen: k aligned ``slice`` views + ``arrays_zip`` + one Generate
+    + one multi-arg ``xxhash64`` over the word triple (2.0 s for the
+    same relation; 8.5 -> 2.4 s for the full signature derivation).
+
+    Differences from :func:`shingles`, and why they are safe where this
+    is used:
+
+    - rows are NOT per-doc-distinct (no array_distinct). MIN-based
+      signature aggregation is duplicate-invariant, and the
+      ``small_pairs`` verify reduces per (pair, shingle) with MAX
+      presence flags before counting, so duplicates cannot change any
+      result. Do NOT feed this into the relational Jaccard strategy,
+      whose row counts assume distinct rows.
+    - the id is ``xxhash64(w_i, .., w_{i+k-1})`` (multi-arg, no string
+      materialization), not ``xxhash64(concat_ws(' ', ...))`` — a
+      different (equally uniform, practically injective) hash family;
+      docs with fewer than k words still contribute no rows.
+    """
+    toks = tokenize(df.select(id_col, text_col), text_col)
+    n_sh = F.greatest(F.size("words") - (k - 1), F.lit(0))
+    zipped = toks.select(
+        id_col,
+        F.arrays_zip(*[F.slice("words", i + 1, n_sh) for i in range(k)]).alias("__z"),
+    )
+    return zipped.select(
+        id_col, F.explode("__z").alias("__s")
+    ).select(
+        id_col,
+        F.xxhash64(*[F.col(f"__s.{i}") for i in range(k)]).alias(out),
+    )
+
+
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Exact dedup by content hash: (text_hash, n_dups, keep_id, dup_ids).
@@ -208,10 +253,12 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
       and nothing sorts: the r5 shape (semi-filter + collect_list +
       first()-pivot) forced an ObjectHashAggregate plus a
       SortAggregate with two Sorts — arrays through the shuffle and
-      three broadcast builds where one suffices. Requires the
-      per-doc-distinct shingle contract that :func:`shingles`
-      guarantees (a duplicated (doc, shingle) row would inflate the
-      presence counts vs the relational form), and DISTINCT pairs
+      three broadcast builds where one suffices. Duplicate
+      (doc, shingle) rows are harmless here — the MAX presence flags
+      reduce per (pair, shingle) before anything is counted, so both
+      :func:`shingles` (distinct) and :func:`shingle_hashes`
+      (not distinct) are valid inputs; the RELATIONAL strategy's row
+      counts do require distinct rows. Requires DISTINCT pairs
       (the final groupBy collapses a duplicated input pair to one
       output row where the relational form would emit it twice — LSH
       candidates are distinct by construction). The caller must
@@ -315,21 +362,36 @@ def near_duplicates_minhash(df: DataFrame, id_col: str = "doc_id",
     cannot safely release them.
 
     ``hash_shingles`` (default: on iff ``hash_fn == 'xxhash64'``)
-    collapses each distinct shingle string to ONE xxhash64 long at
-    the source: every downstream consumer (12 seed-hash mins, the
-    band self-join, the Jaccard verify) only needs shingle EQUALITY
-    and hash uniformity, never the text, so an 8-byte long replaces a
-    ~25-50-byte string in every corpus-sized scan and shuffle (see
-    BENCH/q6_stage_probe.json). The mapping is injective in practice:
-    expected colliding distinct-shingle pairs is D^2 / 2^65 — 2.8e-5
-    at D = 32M distinct shingles, ~0.03 even at D = 1e9 — and one
-    collision shifts one pair's intersection count by at most 1. The
-    md5 oracle mode keeps exact strings so the DuckDB correctness
-    mirror stays bit-identical."""
+    replaces shingle strings with xxhash64 longs at the source: every
+    downstream consumer (12 seed-hash mins, the band self-join, the
+    Jaccard verify) only needs shingle EQUALITY and hash uniformity,
+    never the text, so an 8-byte long replaces a ~25-50-byte string in
+    every corpus-sized scan and shuffle (see
+    BENCH/q6_stage_probe.json) — and since r6 the long comes from
+    :func:`shingle_hashes` (codegen multi-arg hash of the word k-gram,
+    no string ever built, no per-doc distinct — MIN signatures and the
+    MAX-flag verify are duplicate-invariant; measured 8.5 -> 2.4 s
+    signature derivation at 800k docs / local[8]). The mapping is
+    injective in practice: expected colliding distinct-shingle pairs
+    is D^2 / 2^65 — 2.8e-5 at D = 32M distinct shingles, ~0.03 even at
+    D = 1e9 — and one collision shifts one pair's intersection count
+    by at most 1. The md5 oracle mode keeps exact strings so the
+    DuckDB correctness mirror stays bit-identical."""
     if hash_shingles is None:
         hash_shingles = hash_fn == "xxhash64"
 
-    def _shingle_rel(docs: DataFrame) -> DataFrame:
+    def _fast_rel(docs: DataFrame) -> DataFrame:
+        # hashed mode: whole-stage-codegen word-triple hashing, no
+        # shingle strings ever built (see shingle_hashes — measured
+        # 8.5 -> 2.4 s for the signature derivation at 800k docs).
+        # Rows are not per-doc-distinct; every consumer on this path
+        # (MIN signature agg, MAX-flag small-pairs verify) is
+        # duplicate-invariant.
+        return shingle_hashes(docs, id_col, text_col, k)
+
+    def _distinct_rel(docs: DataFrame) -> DataFrame:
+        # string path (md5 oracle mode) and the relational verify,
+        # whose row counts require the per-doc-distinct contract
         rel = shingles(docs.select(id_col, text_col), text_col, k)
         if hash_shingles:
             rel = rel.select(id_col, F.xxhash64("shingle").alias("shingle"))
@@ -342,7 +404,7 @@ def near_duplicates_minhash(df: DataFrame, id_col: str = "doc_id",
     # that survives 10^12 docs, where persisting the exploded relation
     # (~#shingles x 16 B, several x the corpus) would spill to disk and
     # pay more bytes than the recomputation it saves.
-    sh = _shingle_rel(df)
+    sh = _fast_rel(df) if hash_shingles else _distinct_rel(df)
     pairs = lsh_candidate_pairs(df, id_col, text_col, k, hash_fn=hash_fn,
                                 _shingles=sh).cache()
     n_pairs = pairs.count()
@@ -363,17 +425,24 @@ def near_duplicates_minhash(df: DataFrame, id_col: str = "doc_id",
         )
         cand_docs = df.select(id_col, text_col).join(
             F.broadcast(cand), on=id_col, how="left_semi")
+        verify_rel = (_fast_rel(cand_docs) if hash_shingles
+                      else _distinct_rel(cand_docs))
         out = ngram_jaccard(df, pairs, id_col, text_col, k,
-                            _shingles=_shingle_rel(cand_docs),
+                            _shingles=verify_rel,
                             small_pairs=True)
     else:
         # relational verify re-reads the full relation three times:
         # there a cache pays off (one extra explode to build it beats
-        # three). Materialize EAGERLY (one count) before the consumer
-        # plan exists: AQE compiles the query into independent
-        # exchange-materialization futures, and on an unmaterialized
-        # cache they race to re-derive it concurrently (~100 duplicated
-        # core-seconds measured at 800k docs)
+        # three). Its row-count math REQUIRES the per-doc-distinct
+        # contract, so the hashed mode rebuilds the distinct relation
+        # here (the duplicate-tolerant fast relation above only ever
+        # feeds the MIN signature agg). Materialize EAGERLY (one count)
+        # before the consumer plan exists: AQE compiles the query into
+        # independent exchange-materialization futures, and on an
+        # unmaterialized cache they race to re-derive it concurrently
+        # (~100 duplicated core-seconds measured at 800k docs)
+        if hash_shingles:
+            sh = _distinct_rel(df)
         sh = sh.cache()
         sh.count()
         if caches is not None:

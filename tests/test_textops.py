@@ -1009,3 +1009,47 @@ class TestStarConnectedComponents:
             F.col("vec_id") == 7, F.lit(None)).otherwise(F.col("embedding")))
         out = cosine_topk(emb2, q, 3).toPandas()
         assert len(out) == 6 and 7 not in set(out.vec_id)
+
+
+class TestShingleHashes:
+    def test_codegen_shingle_ids_edge_docs(self, spark):
+        # the codegen word-triple hash path: short docs and null text
+        # contribute no rows (same membership as shingles()), duplicate
+        # k-grams DO repeat (min/max-flag consumers are invariant), and
+        # ids are consistent for equal triples
+        from geodistpy_spark.textops.dedup import shingle_hashes, shingles
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d"), (2, "too short"), (3, None),
+             (4, "a b c a b c a b c")],  # duplicated 'a b c'
+            "doc_id long, text string")
+        rows = shingle_hashes(docs).toPandas()
+        assert set(rows.doc_id) == {1, 4}
+        assert len(rows[rows.doc_id == 1]) == 2   # 'a b c', 'b c d'
+        assert len(rows[rows.doc_id == 4]) == 7   # positions, with dups
+        # same triple -> same id across docs
+        ids1 = set(rows[rows.doc_id == 1].shingle)
+        ids4 = set(rows[rows.doc_id == 4].shingle)
+        assert len(ids4) == 3 and len(ids1 & ids4) >= 1
+        # membership parity with the string path
+        str_rows = shingles(docs.na.drop(subset=["text"])).toPandas()
+        assert set(str_rows[str_rows.columns[0]]) == {1, 4}
+
+    def test_fast_path_jaccard_values_match_string_mode(self, spark):
+        # near-dup verify values must be identical whichever shingle-id
+        # scheme generated the candidate relation (equality-based math)
+        from geodistpy_spark.textops import near_duplicates_minhash
+
+        docs = spark.createDataFrame(
+            [(i, f"w{i} common words here shared tail piece number {i % 3}")
+             for i in range(40)] + [(100, "common words here shared tail piece number 1 w1")],
+            "doc_id long, text string")
+        fast = near_duplicates_minhash(docs, threshold=0.2).toPandas()
+        slow = near_duplicates_minhash(
+            docs, threshold=0.2, hash_shingles=False).toPandas()
+        cols = ["n_inter", "n_1", "n_2", "jaccard"]
+        f = fast.set_index(["id_1", "id_2"]).sort_index()
+        s = slow.set_index(["id_1", "id_2"]).sort_index()
+        common = f.index.intersection(s.index)
+        assert len(common) > 0
+        assert f.loc[common, cols].equals(s.loc[common, cols])
