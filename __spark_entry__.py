@@ -23,7 +23,8 @@ DuckDB oracle read the SAME golden table; the Spark side returns
 within-tolerance booleans (plus reference values taken from the golden
 table so the columns hash-match), the oracle returns the same reference
 values with ok=TRUE. A kernel regression flips ok and fails the hash.
-Only ivf_topk stays rows-only (driver-side k-means seeding).
+No query is rows-only: the ANN trio (ivf/pq/ivfpq_topk) runs over
+committed fixtures with full SQL mirrors like everything else.
 """
 
 from __future__ import annotations
@@ -1038,7 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.unix_timestamp("ts_asof").cast("long").alias("purch_ts_s"),
         )
 
-    # --- multimodal + ANN scale path (rows-only) -----------------------
+    # --- multimodal + ANN scale path -----------------------------------
     def q_media_features(spark, sf_dir):
         # image decode features + parsed span metadata (media_key) +
         # AUDIO decode of the same spans in one relation (absorbed r3's

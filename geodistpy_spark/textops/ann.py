@@ -443,7 +443,8 @@ def build_ivf_index(emb: DataFrame, n_cells: int | None = 16,
 
 def train_pq(emb: DataFrame, m: int = 8, bits: int = 8,
              sample_size: int = 4096, id_col: str = "vec_id",
-             vec_col: str = "embedding"):
+             vec_col: str = "embedding", n_iters: int = 8,
+             distributed: bool = False):
     """Deterministic product-quantization codebooks: the (unit-normalized)
     vector space is split into ``m`` contiguous subspaces and each gets
     its own ``2**bits``-entry k-means codebook, trained Lloyd-style on
@@ -451,11 +452,25 @@ def train_pq(emb: DataFrame, m: int = 8, bits: int = 8,
     :func:`train_centroids`. Returns ndarray (m, 2**bits, d/m).
 
     Dimension d must be divisible by m.
+
+    ``distributed=True``: full-corpus Lloyd instead of the driver-side
+    sample — each iteration is ONE Arrow-batched ``mapInPandas`` pass
+    that assigns every vector in ALL m subspaces and emits per-batch
+    partial sums ((subspace, codeword, count, sum-vector); at most
+    batches x m x 2^bits tiny rows), reduced deterministically on the
+    driver (fixed accumulation order, mirroring
+    :func:`train_centroids`). Same deterministic init (globally
+    smallest-id rows), same mean update, so on a corpus the sample
+    covers entirely the two trainers agree to fp round-off. Use when a
+    4096-row draw could miss codeword structure (10^9+ vectors); cost =
+    ``n_iters`` full scans, each embarrassingly parallel with no
+    shuffle.
     """
     import numpy as np
 
     pdf = (
-        emb.orderBy(F.col(id_col).asc()).limit(sample_size)
+        emb.orderBy(F.col(id_col).asc())
+        .limit((1 << bits) if distributed else sample_size)
         .select(F.col(vec_col).cast("array<double>").alias("v"))
         .toPandas()
     )
@@ -469,15 +484,79 @@ def train_pq(emb: DataFrame, m: int = 8, bits: int = 8,
     books = np.zeros((m, ksub, dsub))
     for j in range(m):
         S = X[:, j * dsub:(j + 1) * dsub]
-        C = S[:ksub].copy() if n >= ksub else np.resize(S, (ksub, dsub)).copy()
-        for _ in range(8):
-            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for c in range(ksub):
-                members = S[assign == c]
-                if len(members):
-                    C[c] = members.mean(axis=0)
-        books[j] = C
+        books[j] = S[:ksub].copy() if n >= ksub else np.resize(
+            S, (ksub, dsub)).copy()
+    if not distributed:
+        for j in range(m):
+            S = X[:, j * dsub:(j + 1) * dsub]
+            C = books[j]
+            for _ in range(n_iters):
+                d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                assign = d2.argmin(axis=1)
+                for c in range(ksub):
+                    members = S[assign == c]
+                    if len(members):
+                        C[c] = members.mean(axis=0)
+        return books
+
+    src = emb.select(F.col(vec_col).cast("array<double>").alias("__v"))
+    part_schema = T.StructType([
+        T.StructField("j", T.IntegerType()),
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.ArrayType(T.DoubleType())),
+    ])
+    for _ in range(n_iters):
+        Bb = books.copy()
+
+        def _partials(pdfs, Bb=Bb):
+            import pandas as pd
+
+            for pdf in pdfs:
+                ok = pdf["__v"].map(lambda v: v is not None and len(v) == d)
+                pdf = pdf[ok]
+                if not len(pdf):
+                    continue
+                V = np.stack(pdf["__v"].values)
+                V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True),
+                                   1e-12)
+                out_j, out_c, out_n, out_s = [], [], [], []
+                for j in range(m):
+                    S = V[:, j * dsub:(j + 1) * dsub]
+                    C = Bb[j]
+                    # identical fp formula to the sampled trainer (so a
+                    # sample-covered corpus reproduces its books to
+                    # round-off), chunked to bound the (rows x ksub x
+                    # dsub) distance temp at ~64 MB
+                    chunk = max(1, (1 << 23) // (ksub * dsub))
+                    assign = np.empty(len(S), dtype=np.int64)
+                    for a in range(0, len(S), chunk):
+                        Sc = S[a:a + chunk]
+                        d2 = ((Sc[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                        assign[a:a + len(Sc)] = d2.argmin(axis=1)
+                    cells, counts = np.unique(assign, return_counts=True)
+                    sums = np.zeros((len(cells), dsub))
+                    for k, c in enumerate(cells):
+                        sums[k] = S[assign == c].sum(axis=0)
+                    out_j.extend([j] * len(cells))
+                    out_c.extend(cells.tolist())
+                    out_n.extend(counts.tolist())
+                    out_s.extend(list(sums))
+                yield pd.DataFrame({"j": np.asarray(out_j, "int32"),
+                                    "cell": np.asarray(out_c, "int32"),
+                                    "n": np.asarray(out_n, "int64"),
+                                    "s": out_s})
+
+        rows = src.mapInPandas(_partials, part_schema).collect()
+        agg_n = np.zeros((m, ksub))
+        agg_s = np.zeros((m, ksub, dsub))
+        # deterministic driver reduce: fixed accumulation order
+        for r in sorted(rows, key=lambda r: (r["j"], r["cell"], r["n"],
+                                             tuple(r["s"]))):
+            agg_n[r["j"], r["cell"]] += r["n"]
+            agg_s[r["j"], r["cell"]] += np.asarray(r["s"])
+        nz = agg_n > 0
+        books[nz] = agg_s[nz] / agg_n[nz][:, None]
     return books
 
 

@@ -1053,3 +1053,36 @@ class TestShingleHashes:
         common = f.index.intersection(s.index)
         assert len(common) > 0
         assert f.loc[common, cols].equals(s.loc[common, cols])
+
+
+class TestDistributedTrainPQ:
+    def test_distributed_matches_sampled_on_covered_corpus(self, spark):
+        # when the sample covers the whole corpus, the sampled and
+        # distributed per-subspace Lloyd see identical data from the
+        # identical init and identical assignment formula, so the
+        # codebooks must agree to fp round-off
+        import numpy as np
+
+        from geodistpy_spark.textops.ann import train_pq
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        sampled = np.asarray(train_pq(emb, m=8, sample_size=10_000))
+        dist = np.asarray(train_pq(emb, m=8, distributed=True))
+        assert sampled.shape == dist.shape
+        assert np.allclose(sampled, dist, atol=1e-9), \
+            np.abs(sampled - dist).max()
+
+    def test_distributed_books_drive_pq_recall(self, spark):
+        from geodistpy_spark.textops import cosine_topk, pq_topk
+        from geodistpy_spark.textops.ann import train_pq
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        books = train_pq(emb, m=8, distributed=True)
+        q = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_vec"))
+        exact = cosine_topk(emb, q, 5).toPandas()
+        got = pq_topk(emb, q, 5, shortlist=64, codebooks=books).toPandas()
+        hit = set(map(tuple, got[["query_id", "vec_id"]].values))
+        want = set(map(tuple, exact[["query_id", "vec_id"]].values))
+        assert len(hit & want) / len(want) >= 0.5
