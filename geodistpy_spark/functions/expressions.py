@@ -26,7 +26,23 @@ def _c(x) -> Column:
 
 
 def haversine_m(lat1, lon1, lat2, lon2, radius: float = EARTH_RADIUS_M) -> Column:
-    """Great-circle distance on a sphere (meters) — pure column math."""
+    """Great-circle distance on a sphere (meters) — pure column math.
+
+    All-string column names hit an lru_cache (same rationale as
+    cell_id_col: the builder is ~50 py4j round trips of pure driver
+    wall per call, and Column trees are immutable/reusable)."""
+    if all(isinstance(v, str) for v in (lat1, lon1, lat2, lon2)):
+        return _haversine_m_cached(lat1, lon1, lat2, lon2, radius)
+    return _haversine_m_build(lat1, lon1, lat2, lon2, radius)
+
+
+@lru_cache(maxsize=512)
+def _haversine_m_cached(lat1: str, lon1: str, lat2: str, lon2: str,
+                        radius: float) -> Column:
+    return _haversine_m_build(lat1, lon1, lat2, lon2, radius)
+
+
+def _haversine_m_build(lat1, lon1, lat2, lon2, radius: float) -> Column:
     p1, l1, p2, l2 = (F.radians(_c(v)) for v in (lat1, lon1, lat2, lon2))
     h = (
         F.pow(F.sin((p2 - p1) / 2), 2)
@@ -49,7 +65,20 @@ def great_circle_m(lat1, lon1, lat2, lon2, a: float = WGS84_A, f: float = WGS84_
 
     Same formula as kernels.great_circle (reference contract:
     geodesic.py:676-767); ~10 m mean accuracy, zero Python overhead.
+    All-string column names hit an lru_cache (see haversine_m).
     """
+    if all(isinstance(v, str) for v in (lat1, lon1, lat2, lon2)):
+        return _great_circle_m_cached(lat1, lon1, lat2, lon2, a, f)
+    return _great_circle_m_build(lat1, lon1, lat2, lon2, a, f)
+
+
+@lru_cache(maxsize=512)
+def _great_circle_m_cached(lat1: str, lon1: str, lat2: str, lon2: str,
+                           a: float, f: float) -> Column:
+    return _great_circle_m_build(lat1, lon1, lat2, lon2, a, f)
+
+
+def _great_circle_m_build(lat1, lon1, lat2, lon2, a: float, f: float) -> Column:
     p1, l1, p2, l2 = (F.radians(_c(v)) for v in (lat1, lon1, lat2, lon2))
     b1 = F.atan((1.0 - f) * F.tan(p1))
     b2 = F.atan((1.0 - f) * F.tan(p2))

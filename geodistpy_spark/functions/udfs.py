@@ -9,6 +9,8 @@ param resolution at distance.py:137-138).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -41,7 +43,23 @@ def vincenty_udf(ellipsoid="WGS-84", once: bool = False):
     run the Python kernel TWICE per row — visible as two ArrowEvalPython
     nodes in the plan). The kernel is in fact deterministic; the flag is
     purely an evaluate-once fence.
+
+    String ellipsoid names hit an lru_cache: creating the pandas UDF is
+    ~10 py4j round trips + a cloudpickle, paid on every radius/kNN
+    refine build otherwise; the returned wrapper is a pure expression
+    factory and safely reusable across plans.
     """
+    if isinstance(ellipsoid, str):
+        return _vincenty_udf_cached(ellipsoid, once)
+    return _vincenty_udf_build(ellipsoid, once)
+
+
+@lru_cache(maxsize=32)
+def _vincenty_udf_cached(ellipsoid: str, once: bool):
+    return _vincenty_udf_build(ellipsoid, once)
+
+
+def _vincenty_udf_build(ellipsoid, once: bool):
     a, f = resolve_ellipsoid(ellipsoid)
 
     @F.pandas_udf(T.DoubleType())
