@@ -41,6 +41,27 @@ def _prewarm(spark: SparkSession, n_workers: int) -> None:
         small = spark.range(8).select(F.col("id").alias("k"))
         df.select((F.col("x").cast("long") % 8).alias("k")).join(
             F.broadcast(small), on="k").count()
+        # MapInArrow / MapInPandas runner init: each physical-operator
+        # family pays a one-time per-session setup (measured ~1.9 s for
+        # the first mapInArrow job even with the worker pool already
+        # warm); without this it lands inside the first real
+        # histogram/ANN call instead
+        tiny = spark.range(n_workers, numPartitions=min(n_workers, 8))
+
+        def _mia(it):
+            import pyarrow as pa
+            for b in it:
+                yield pa.record_batch([pa.array([b.num_rows], pa.int64())],
+                                      names=["n"])
+
+        tiny.mapInArrow(_mia, "n long").collect()
+
+        def _mip(it):
+            for b in it:
+                yield b
+
+        tiny.select(F.col("id").cast("double").alias("x")) \
+            .mapInPandas(_mip, "x double").collect()
     except Exception:  # pragma: no cover - warmup must never break callers
         pass
 
@@ -69,6 +90,13 @@ def get_spark(app_name: str = "geodistpy_spark", master: str | None = None,
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
+        # PySpark 4 wraps every DataFrame API call to capture the Python
+        # call site for error messages: a stack walk plus THREE extra
+        # py4j round trips (conf.get + origin.set + clear) per call.
+        # Measured on the dedup builder: 0.65 -> 0.44 s of driver-side
+        # plan construction per call. Scale-independent (pure driver
+        # overhead); re-enable when debugging plan provenance.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in (extra or {}).items():
         builder = builder.config(k, v)
