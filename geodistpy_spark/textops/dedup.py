@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import math
 import warnings
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -27,12 +28,14 @@ DEFAULT_SEEDS = 12
 DEFAULT_BANDS = 4  # 3 rows per band
 
 
+@lru_cache(maxsize=64)
+def _tokenize_col(text_col: str):
+    return F.filter(F.split(F.lower(F.col(text_col)), " "), lambda w: w != "")
+
+
 def tokenize(df: DataFrame, text_col: str = "text", out: str = "words") -> DataFrame:
     """Whitespace tokenization, lowercased, empty tokens removed."""
-    return df.withColumn(
-        out,
-        F.filter(F.split(F.lower(F.col(text_col)), " "), lambda w: w != ""),
-    )
+    return df.withColumn(out, _tokenize_col(text_col))
 
 
 def shingles(df: DataFrame, text_col: str = "text", k: int = 3,
@@ -57,6 +60,18 @@ def shingles(df: DataFrame, text_col: str = "text", k: int = 3,
     return (
         sh.select(df.columns[0], F.explode(F.array_distinct("__sh")).alias(out))
     )
+
+
+@lru_cache(maxsize=32)
+def _shingle_zip_col(k: int):
+    n_sh = F.greatest(F.size("words") - (k - 1), F.lit(0))
+    return F.arrays_zip(
+        *[F.slice("words", i + 1, n_sh) for i in range(k)]).alias("__z")
+
+
+@lru_cache(maxsize=32)
+def _shingle_id_col(k: int):
+    return F.xxhash64(*[F.col(f"__s.{i}") for i in range(k)])
 
 
 def shingle_hashes(df: DataFrame, id_col: str = "doc_id",
@@ -91,17 +106,10 @@ def shingle_hashes(df: DataFrame, id_col: str = "doc_id",
       docs with fewer than k words still contribute no rows.
     """
     toks = tokenize(df.select(id_col, text_col), text_col)
-    n_sh = F.greatest(F.size("words") - (k - 1), F.lit(0))
-    zipped = toks.select(
-        id_col,
-        F.arrays_zip(*[F.slice("words", i + 1, n_sh) for i in range(k)]).alias("__z"),
-    )
+    zipped = toks.select(id_col, _shingle_zip_col(k))
     return zipped.select(
         id_col, F.explode("__z").alias("__s")
-    ).select(
-        id_col,
-        F.xxhash64(*[F.col(f"__s.{i}") for i in range(k)]).alias(out),
-    )
+    ).select(id_col, _shingle_id_col(k).alias(out))
 
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
@@ -133,6 +141,7 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+@lru_cache(maxsize=256)
 def _seed_hash(s: int, hash_fn: str):
     """Per-seed uniform hash of the ``shingle`` column.
 
@@ -142,12 +151,46 @@ def _seed_hash(s: int, hash_fn: str):
     - ``md5``: 32-char hex string — 4x the bytes and driver-side string
       hashing, kept ONLY because DuckDB has md5 but not xxhash64, so
       the correctness-oracle rows stay bit-mirrorable in ANSI SQL.
+
+    lru_cached: Column trees are immutable (analysis re-resolves per
+    plan), and the dedup pipeline rebuilds these same ~24 expressions
+    on every call — each a handful of py4j round trips (same pattern
+    as functions.expressions._cell_id_col_cached).
     """
     if hash_fn == "md5":
         return F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))
     if hash_fn == "xxhash64":
         return F.xxhash64(F.lit(s), F.col("shingle"))
     raise ValueError(f"unknown hash_fn={hash_fn!r} (xxhash64|md5)")
+
+
+@lru_cache(maxsize=64)
+def _sig_cols(n_seeds: int, hash_fn: str) -> tuple:
+    """(aliased seed-hash columns, aliased MIN aggregates) for
+    :func:`minhash_signatures` — one immutable tree per shape."""
+    hashes = tuple(_seed_hash(s, hash_fn).alias(f"h{s}")
+                   for s in range(n_seeds))
+    mins = tuple(F.min(f"h{s}").alias(f"mh{s}") for s in range(n_seeds))
+    return hashes, mins
+
+
+@lru_cache(maxsize=64)
+def _band_cols(n_bands: int, rows: int, hash_fn: str) -> tuple:
+    """Aliased band-key columns over mh* for :func:`lsh_candidate_pairs`."""
+    if hash_fn == "xxhash64":
+        return tuple(
+            F.xxhash64(F.lit(b), *[F.col(f"mh{b * rows + r}")
+                                   for r in range(rows)]).alias(f"b{b}")
+            for b in range(n_bands)
+        )
+    return tuple(
+        F.concat_ws(
+            "|",
+            F.lit(str(b)),
+            *[F.col(f"mh{b * rows + r}") for r in range(rows)],
+        ).alias(f"b{b}")
+        for b in range(n_bands)
+    )
 
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
@@ -163,13 +206,9 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     """
     sh = _shingles if _shingles is not None else shingles(
         df.select(id_col, text_col), text_col, k)
-    hashed = sh.select(
-        id_col,
-        *[_seed_hash(s, hash_fn).alias(f"h{s}") for s in range(n_seeds)],
-    )
-    return hashed.groupBy(id_col).agg(
-        *[F.min(f"h{s}").alias(f"mh{s}") for s in range(n_seeds)]
-    )
+    hashes, mins = _sig_cols(n_seeds, hash_fn)
+    hashed = sh.select(id_col, *hashes)
+    return hashed.groupBy(id_col).agg(*mins)
 
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -194,24 +233,11 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     rows = n_seeds // n_bands
     sig = minhash_signatures(df, id_col, text_col, k, n_seeds, hash_fn,
                              _shingles=_shingles)
-    if hash_fn == "xxhash64":
-        # band key = one codegen'd 64-bit hash over the band's signature
-        # rows (seeded by the band index) — an 8-byte long through the
-        # self-join shuffle instead of a ~100-char concat string
-        band_cols = [
-            F.xxhash64(F.lit(b), *[F.col(f"mh{b * rows + r}")
-                                   for r in range(rows)]).alias(f"b{b}")
-            for b in range(n_bands)
-        ]
-    else:
-        band_cols = [
-            F.concat_ws(
-                "|",
-                F.lit(str(b)),
-                *[F.col(f"mh{b * rows + r}") for r in range(rows)],
-            ).alias(f"b{b}")
-            for b in range(n_bands)
-        ]
+    # band key = one codegen'd 64-bit hash over the band's signature
+    # rows (seeded by the band index) — an 8-byte long through the
+    # self-join shuffle instead of a ~100-char concat string
+    # (md5 mode keeps the concat string for the DuckDB mirror)
+    band_cols = _band_cols(n_bands, rows, hash_fn)
     bands = sig.select(id_col, F.explode(F.array(*band_cols)).alias("band_key"))
     if max_band_size is not None:
         sizes = bands.groupBy("band_key").count()
