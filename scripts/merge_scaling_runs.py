@@ -136,13 +136,28 @@ def main(paths):
         sxx = sum((x - mx) ** 2 for x in xs)
         if sxx > 0:
             b = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sxx
+            if b < 0:
+                note = ("suite efficiency regressed on hi-level "
+                        "steal-cores across all comparable sweeps; the "
+                        "intercept estimates the contention-free "
+                        "efficiency without excluding any run")
+            else:
+                # a non-negative slope means the campaign contains
+                # zero-steal runs with degraded hi-level legs (memory-
+                # bandwidth contention steal accounting cannot see —
+                # the run-14 caveat below), so steal-cores does NOT
+                # explain the variance; say so instead of asserting a
+                # relationship the data contradicts
+                note = ("fitted slope is non-negative: steal-cores does "
+                        "not explain this campaign's variance (zero-steal "
+                        "runs with degraded hi-level legs present — "
+                        "memory-bandwidth contention is invisible to "
+                        "steal accounting); the all-runs median is the "
+                        "operative statistic")
             steal_fit = {
                 "slope_per_steal_core": round(b, 3),
                 "zero_steal_intercept": round(my - b * mx, 3),
-                "note": ("suite efficiency regressed on hi-level "
-                         "steal-cores across all comparable sweeps; the "
-                         "intercept estimates the contention-free "
-                         "efficiency without excluding any run"),
+                "note": note,
             }
     med = lambda xs: xs[len(xs) // 2] if len(xs) % 2 else \
         (xs[len(xs) // 2 - 1] + xs[len(xs) // 2]) / 2
@@ -163,6 +178,13 @@ def main(paths):
                     "suite_efficiency": c["suite_efficiency"],
                     "steal_cores_hi": c["steal_cores_hi"],
                     "steal_cores_lo": c["steal_cores_lo"]}
+        effs = sorted(r["suite_efficiency"] for r in steal_rows)
+        if cleanest["suite_efficiency"] < med(effs):
+            cleanest["note"] = (
+                "below the all-runs median: zero recorded steal did not "
+                "rule out memory-bandwidth contention for this run (the "
+                "run-14 caveat) — read it with steal_efficiency_fit's "
+                "note, not as the headline")
     # timing-info table (best-of-sweeps walls) kept, with a flag for
     # queries whose lo/hi minima come from different sweeps
     cross_run = [q for q in qnames
