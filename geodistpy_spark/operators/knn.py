@@ -430,10 +430,14 @@ def _topk_in_radius(qr: DataFrame, cand: DataFrame, k: int, res: int,
         joined = joined.filter(keep).withColumn(out, d)
     w = Window.partitionBy(q_id).orderBy(F.col(out).asc(), *order_tail)
     wc = Window.partitionBy(q_id)
-    return (
-        joined.drop("__cell", "__salt")
-        .withColumn("__rn", F.row_number().over(w))
-        .withColumn("__cnt", F.count(F.lit(1)).over(wc))
+    # one select instead of drop + 2x withColumn: each DataFrame op is a
+    # full analysis round trip (~10-20 ms at local[32]) paid per build,
+    # and this runs twice per knn_join
+    keep = [c for c in joined.columns if c not in ("__cell", "__salt")]
+    return joined.select(
+        *keep,
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wc).alias("__cnt"),
     )
 
 
@@ -550,8 +554,10 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
     qr2 = (
         qr.drop("__cells")  # phase-1 cover is stale once __r grows
         .join(F.broadcast(p1s), on=q_id, how="left")
-        .filter(F.coalesce(F.col("__c1"), F.lit(0)) < k).drop("__c1")
-        .withColumn("__r", F.least(F.col("__r") * growth, F.lit(r_cap)))
+        .filter(F.coalesce(F.col("__c1"), F.lit(0)) < k)
+        # one select = drop("__c1") + the __r growth withColumn
+        .select(q_id, "__qlat", "__qlon",
+                F.least(F.col("__r") * growth, F.lit(r_cap)).alias("__r"))
     ).cache()  # consumed by BOTH phase 2 and the phase-3 open-set join
 
     # phase 2: growth x radius for the unclosed tail (same candidate-side
